@@ -1,0 +1,196 @@
+"""Unit tests for the pure core math: cameras, rays, PE, compositing, sampling.
+
+Closed-form + torch-CPU parity checks (torch is a test-only dependency; no
+torch on the compute path).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scenedino_tpu.core import cameras, compositing, encoding, grid_sample, rays, sampling
+
+
+def test_normalize_k_roundtrip():
+    K = jnp.array([[[500.0, 0, 320], [0, 500, 96], [0, 0, 1]]])
+    size = jnp.array([[640.0, 192.0]])
+    Kn = cameras.normalize_k(K, size)
+    # fx' = 500*2/640, cx' = 320*2/640 - 1 = 0
+    assert np.allclose(Kn[0, 0, 0], 500 * 2 / 640)
+    assert np.allclose(Kn[0, 0, 2], 0.0)
+    assert np.allclose(Kn[0, 1, 1], 500 * 2 / 192)
+    back = cameras.unnormalize_k(Kn, size)
+    assert np.allclose(back, K, atol=1e-5)
+
+
+def test_project_identity_camera():
+    # camera at origin looking down +z; normalized K = diag(f, f, 1)
+    pts = jnp.array([[[0.0, 0.0, 5.0], [1.0, -1.0, 2.0]]])  # (1, 2, 3)
+    w2c = jnp.eye(4)[None, None]  # (1, 1, 4, 4)
+    K = jnp.array([[[[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]]])
+    xy, z, dist, invalid = cameras.project_points(pts, w2c, K)
+    assert np.allclose(xy[0, 0, 0], [0, 0], atol=1e-6)
+    assert np.allclose(z[0, 0, 0, 0], 5.0)
+    assert np.allclose(xy[0, 0, 1], [0.5, -0.5], atol=1e-6)
+    assert np.allclose(dist[0, 0, 1, 0], np.sqrt(6.0), atol=1e-5)
+    assert not bool(invalid[0, 0, 0, 0])
+
+
+def test_project_behind_camera_invalid():
+    pts = jnp.array([[[0.0, 0.0, -5.0]]])
+    w2c = jnp.eye(4)[None, None]
+    K = jnp.eye(3)[None, None]
+    _, _, _, invalid = cameras.project_points(pts, w2c, K)
+    assert bool(invalid[0, 0, 0, 0])
+
+
+def test_pts_into_camera_translation():
+    pts = jnp.array([[[1.0, 2.0, 3.0]]])
+    w2c = jnp.eye(4).at[:3, 3].set(jnp.array([10.0, 0.0, 0.0]))[None, None]
+    cam = cameras.pts_into_camera(pts, w2c)
+    assert np.allclose(cam[0, 0, 0], [11.0, 2.0, 3.0])
+
+
+def test_unproj_map_center_pixel():
+    dirs, xy = rays.unproj_map(4, 4, 1.0, norm_dir=False)
+    # pixel centers symmetric around 0
+    assert np.allclose(xy[0, :, :, 0].sum(), 0.0, atol=1e-6)
+    assert np.allclose(xy[0, 0, 0], [-0.75, -0.75])
+    assert np.allclose(dirs[0, 0, 0], [-0.75, -0.75, 1.0])
+
+
+def test_gen_rays_identity_pose():
+    pose = jnp.eye(4)[None]
+    r, xy = rays.gen_rays(pose, 8, 6, 3.0, 80.0, focal=jnp.array([[1.0, 1.0]]))
+    assert r.shape == (1, 6, 8, 8)
+    assert np.allclose(r[..., :3], 0.0)  # origins at 0
+    assert np.allclose(r[..., 6], 3.0)
+    assert np.allclose(r[..., 7], 80.0)
+    n = np.linalg.norm(np.asarray(r[..., 3:6]), axis=-1)
+    assert np.allclose(n, 1.0, atol=1e-3)
+
+
+def test_positional_encoding_matches_reference_ordering():
+    x = jnp.array([[0.3, -0.2, 0.9]])
+    out = encoding.positional_encoding(x, num_freqs=6, freq_factor=1.5, include_input=True)
+    assert out.shape == (1, 39)
+    assert np.allclose(out[0, :3], x[0])
+    # next 3 = sin(1.5 * x), following 3 = cos(1.5 * x)
+    assert np.allclose(out[0, 3:6], np.sin(1.5 * np.asarray(x[0])), atol=1e-6)
+    assert np.allclose(out[0, 6:9], np.cos(1.5 * np.asarray(x[0])), atol=1e-6)
+    # last block: cos(1.5*32*x)
+    assert np.allclose(out[0, 36:39], np.cos(1.5 * 32 * np.asarray(x[0])), atol=1e-5)
+
+
+def test_normalize_z_invz_bounds():
+    zn_near = encoding.normalize_z(jnp.array(3.0), 3.0, 80.0, inv_z=True)
+    zn_far = encoding.normalize_z(jnp.array(80.0), 3.0, 80.0, inv_z=True)
+    assert np.allclose(zn_near, 1.0, atol=1e-6)
+    assert np.allclose(zn_far, -1.0, atol=1e-6)
+
+
+def test_composite_single_opaque_sample():
+    # one very dense sample at z=5 -> weight ~1, depth ~5
+    sigmas = jnp.array([[1000.0, 0.0]])
+    z = jnp.array([[5.0, 10.0]])
+    out = compositing.composite_rays(sigmas, z, hard_alpha_cap=True)
+    assert np.allclose(out.weights[0, 0], 1.0, atol=1e-4)
+    assert np.allclose(out.depth[0], 5.0, atol=1e-3)
+
+
+def test_composite_transparent_hard_cap():
+    # zero density everywhere: hard cap puts all weight on last sample
+    sigmas = jnp.zeros((1, 4))
+    z = jnp.array([[1.0, 2.0, 3.0, 4.0]])
+    out = compositing.composite_rays(sigmas, z, hard_alpha_cap=True)
+    assert np.allclose(out.weights[0, -1], 1.0, atol=1e-5)
+    assert np.allclose(out.depth[0], 4.0, atol=1e-4)
+
+
+def test_composite_weights_sum_le_one():
+    key = jax.random.PRNGKey(0)
+    sigmas = jax.random.uniform(key, (16, 32)) * 2.0
+    z = jnp.sort(jax.random.uniform(key, (16, 32)) * 70 + 3, axis=-1)
+    out = compositing.composite_rays(sigmas, z, hard_alpha_cap=False)
+    assert np.all(np.asarray(out.weights.sum(-1)) <= 1.0 + 1e-5)
+
+
+def test_composite_matches_torch_formula():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    sig = rng.rand(8, 16).astype(np.float32) * 3
+    z = np.sort(rng.rand(8, 16).astype(np.float32) * 50 + 3, axis=-1)
+    # reference formula (nerf.py:376-394)
+    ts = torch.tensor(sig)
+    tz = torch.tensor(z)
+    deltas = torch.cat([tz[:, 1:] - tz[:, :-1], 1e10 * torch.ones(8, 1)], -1)
+    alphas = 1 - torch.exp(-deltas.abs() * torch.relu(ts))
+    alphas[:, -1] = 1
+    shifted = torch.cat([torch.ones(8, 1), 1 - alphas + 1e-10], -1)
+    T = torch.cumprod(shifted, -1)
+    w_ref = alphas * T[:, :-1]
+    out = compositing.composite_rays(jnp.array(sig), jnp.array(z), hard_alpha_cap=True)
+    assert np.allclose(np.asarray(out.weights), w_ref.numpy(), atol=1e-5)
+
+
+def test_sample_coarse_bounds_and_monotone():
+    key = jax.random.PRNGKey(1)
+    r = jnp.concatenate(
+        [jnp.zeros((64, 6)), jnp.full((64, 1), 3.0), jnp.full((64, 1), 80.0)], -1
+    )
+    z = sampling.sample_coarse(key, r, 32, lindisp=True)
+    assert z.shape == (64, 32)
+    zn = np.asarray(z)
+    assert zn.min() >= 3.0 - 1e-4 and zn.max() <= 80.0 + 1e-4
+    assert np.all(np.diff(zn, axis=-1) > 0)  # stratified => sorted
+
+
+def test_sample_fine_concentrates_on_peak():
+    key = jax.random.PRNGKey(2)
+    r = jnp.concatenate(
+        [jnp.zeros((4, 6)), jnp.full((4, 1), 3.0), jnp.full((4, 1), 80.0)], -1
+    )
+    w = jnp.zeros((4, 32)).at[:, 16].set(100.0)
+    z = sampling.sample_fine(key, r, w, 64, 32, lindisp=False)
+    zn = np.asarray(z)
+    lo = 3 + (80 - 3) * 16 / 32
+    hi = 3 + (80 - 3) * 17 / 32
+    frac_in_bin = ((zn >= lo - 1) & (zn <= hi + 1)).mean()
+    assert frac_in_bin > 0.9
+
+
+def test_grid_sample_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    feat = rng.randn(7, 12, 20).astype(np.float32)
+    xy = (rng.rand(100, 2).astype(np.float32) * 2.4 - 1.2)  # include out-of-range
+    for mode in ["bilinear", "nearest"]:
+        ours = grid_sample.grid_sample_2d(jnp.array(feat), jnp.array(xy), mode=mode)
+        ref = F.grid_sample(
+            torch.tensor(feat)[None],
+            torch.tensor(xy)[None, None],
+            mode=mode,
+            padding_mode="border",
+            align_corners=False,
+        )[0, :, 0].T
+        assert np.allclose(np.asarray(ours), ref.numpy(), atol=1e-5), mode
+
+
+def test_grid_sample_views_shape():
+    rng = np.random.RandomState(4)
+    feats = jnp.array(rng.randn(2, 3, 8, 6, 10).astype(np.float32))
+    xy = jnp.array(rng.rand(2, 3, 50, 2).astype(np.float32) * 2 - 1)
+    out = grid_sample.grid_sample_views(feats, xy)
+    assert out.shape == (2, 3, 50, 8)
+
+
+def test_encode_coords_modes():
+    xy = jnp.zeros((5, 2))
+    z = jnp.linspace(3, 80, 5)[:, None]
+    dist = z * 1.5
+    cz = encoding.encode_coords(xy, z, dist, 3.0, 80.0, mode="z")
+    cd = encoding.encode_coords(xy, z, dist, 3.0, 80.0, mode="distance")
+    assert cz.shape == (5, 3)
+    assert not np.allclose(np.asarray(cz[:, 2]), np.asarray(cd[:, 2]))
