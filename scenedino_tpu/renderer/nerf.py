@@ -1,0 +1,183 @@
+"""Functional NeRF volume renderer (pure jnp under jit).
+
+Behavioral parity target: `scenedino/renderer/nerf.py` (NeRFRenderer).
+Redesigned TPU-first:
+  * No chunked model-eval loop (`eval_batch_size`, nerf.py:268-298): the
+    whole ray batch evaluates as one fused XLA program. Memory is
+    controlled by the caller's ray-batch shape (and `jax.lax.map` for
+    dense-grid evals), not by a Python split loop.
+  * Randomness flows through explicit PRNG keys; sigma noise / stratified
+    jitter / importance sampling are all keyed.
+  * Static configuration (sample counts, modes) lives in a frozen
+    dataclass so each renderer config compiles exactly once.
+
+Output dict mirrors the reference's DotMap (`_format_outputs`,
+nerf.py:541-597): rgb, depth, invalid, dino_features (+weights / alphas /
+z_samps / rgb_samps / invalid_features on request).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from scenedino_tpu.core import compositing, sampling
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """configs/renderer/pixelnerf.yaml + train_scenedino_kitti_360.yaml."""
+
+    n_coarse: int = 32
+    n_fine: int = 0
+    n_fine_depth: int = 0
+    depth_std: float = 1.0
+    noise_std: float = 0.0
+    white_bkgd: bool = False
+    lindisp: bool = True
+    hard_alpha_cap: bool = True
+    render_mode: str = "volumetric"  # volumetric | surface | neus
+    surface_sigmoid_scale: float = 1.0
+    normalize_dino: bool = True  # kept for config parity; reference stores but never applies it (nerf.py:119)
+
+    @property
+    def using_fine(self) -> bool:
+        return self.n_fine > 0
+
+
+# The field query contract: (xyz (B, P, 3), only_density) ->
+# (rgb (B, P, VC), invalid (B, P, V), sigma (B, P), dino (B, P, D) | None)
+FieldFn = Callable[..., Tuple]
+
+
+def render_rays(
+    field_fn: FieldFn,
+    rays: jnp.ndarray,  # (B, R, >=8)
+    key: jax.Array,
+    cfg: RenderConfig,
+    want_weights: bool = False,
+    want_alphas: bool = False,
+    want_z_samps: bool = False,
+    want_rgb_samps: bool = False,
+    sample_from_dist: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    training: bool = False,
+) -> Dict:
+    """Render a batch of rays. Matches NeRFRenderer.forward (nerf.py:451-539).
+
+    Returns {"coarse": {...}, "fine": {...}?} with per-ray composited
+    outputs shaped (B, R, ...).
+    """
+    B, R, r_dim = rays.shape
+    flat = rays.reshape(B * R, r_dim)
+    k_coarse, k_fine, k_noise_c, k_noise_f = jax.random.split(key, 4)
+
+    if sample_from_dist is None:
+        z_coarse = sampling.sample_coarse(k_coarse, flat, cfg.n_coarse, cfg.lindisp)
+    else:
+        prop_w, prop_z = sample_from_dist
+        n = prop_w.shape[-1]
+        z_coarse = sampling.sample_coarse_from_dist(
+            k_coarse, flat, prop_w.reshape(-1, n), prop_z.reshape(-1, n),
+            cfg.n_coarse, cfg.lindisp,
+        )
+        z_coarse = jnp.sort(z_coarse, axis=-1)
+
+    coarse = _composite(field_fn, flat, z_coarse, cfg, B, k_noise_c, training)
+    out = {"coarse": _format(coarse, B, want_weights, want_alphas, want_z_samps, want_rgb_samps)}
+
+    if cfg.using_fine:
+        samps = [z_coarse]
+        if cfg.n_fine - cfg.n_fine_depth > 0:
+            samps.append(
+                sampling.sample_fine(
+                    k_fine, flat, jax.lax.stop_gradient(coarse["weights"]),
+                    cfg.n_fine - cfg.n_fine_depth, cfg.n_coarse, cfg.lindisp,
+                )
+            )
+        if cfg.n_fine_depth > 0:
+            samps.append(
+                sampling.sample_fine_depth(
+                    k_fine, flat, coarse["depth"], cfg.n_fine_depth, cfg.depth_std
+                )
+            )
+        z_all = jnp.sort(jnp.concatenate(samps, axis=-1), axis=-1)
+        fine = _composite(field_fn, flat, z_all, cfg, B, k_noise_f, training)
+        out["fine"] = _format(fine, B, want_weights, want_alphas, want_z_samps, want_rgb_samps)
+    return out
+
+
+def _composite(field_fn, rays, z_samp, cfg, sb, noise_key, training):
+    """One compositing pass (nerf.py:230-449), fully vectorized."""
+    BR, K = z_samp.shape
+    r_dim = rays.shape[-1]
+    points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]  # (BR, K, 3)
+    pts = points.reshape(sb, -1, 3)  # (SB, B'*K, 3)
+
+    only_density = cfg.render_mode == "surface"
+    rgb, invalid, sigma, dino = field_fn(pts, only_density=only_density)
+
+    sigma = sigma.reshape(BR, K).astype(jnp.float32)
+    invalid = invalid.reshape(BR, K, -1)
+    if rgb is not None:
+        rgb = rgb.reshape(BR, K, -1)
+    if dino is not None:
+        dino = dino.reshape(BR, K, -1)
+
+    if training and cfg.noise_std > 0.0:
+        sigma = sigma + jax.random.normal(noise_key, sigma.shape) * cfg.noise_std
+
+    comp = compositing.composite_rays(sigma, z_samp, cfg.hard_alpha_cap)
+    weights = comp.weights
+    depth = comp.depth
+
+    dino_final = compositing.weighted_reduce(weights, dino) if dino is not None else None
+
+    if cfg.render_mode == "neus":
+        weights = compositing.neus_reweight(weights, cfg.surface_sigmoid_scale)
+
+    rgb_final = compositing.weighted_reduce(weights, rgb) if rgb is not None else None
+
+    if cfg.white_bkgd and rgb_final is not None:
+        pix_alpha = weights.sum(-1, keepdims=True)
+        rgb_final = rgb_final + 1.0 - pix_alpha
+
+    return {
+        "weights": weights,
+        "rgb": rgb_final,
+        "depth": depth,
+        "alphas": comp.alphas,
+        "invalid": invalid.astype(jnp.float32),
+        "z_samps": z_samp,
+        "rgb_samps": rgb,
+        "dino_features": dino_final,
+        "invalid_features": invalid.astype(jnp.float32),
+    }
+
+
+def _format(c, sb, want_weights, want_alphas, want_z_samps, want_rgb_samps):
+    """Reshape flat-ray outputs to (SB, R, ...) (nerf.py:541-597)."""
+    K = c["weights"].shape[-1]
+
+    def r(x, *trail):
+        return x.reshape(sb, -1, *trail) if x is not None else None
+
+    out = {
+        "rgb": r(c["rgb"], c["rgb"].shape[-1]) if c["rgb"] is not None else None,
+        "depth": c["depth"].reshape(sb, -1),
+        "invalid": r(c["invalid"], K, c["invalid"].shape[-1]),
+        "dino_features": r(c["dino_features"], c["dino_features"].shape[-1])
+        if c["dino_features"] is not None
+        else None,
+        "invalid_features": r(c["invalid_features"], K, c["invalid_features"].shape[-1]),
+    }
+    if want_weights:
+        out["weights"] = r(c["weights"], K)
+    if want_alphas:
+        out["alphas"] = r(c["alphas"], K)
+    if want_z_samps:
+        out["z_samps"] = r(c["z_samps"], K)
+    if want_rgb_samps and c["rgb_samps"] is not None:
+        out["rgb_samps"] = r(c["rgb_samps"], K, c["rgb_samps"].shape[-1])
+    return out
