@@ -1,0 +1,161 @@
+"""Single-image inference demo.
+
+Behavioral parity target: `demo_script.py` + `demo_utils/utils.py` — load a
+checkpoint, encode one image, produce (a) full-frame rendered depth + 768-d
+feature map (+ segmentation), (b) a 3D grid query
+(x in [-10, 10], y in [-5, 5], z in [0, 20] @ 0.2 m) returning
+(xyz, dino_768, sigma, seg), and (c) PCA feature visualizations.
+
+Usage:
+  python -m scenedino_tpu.cli.demo --ckpt <orbax dir or torch .pt> \
+      --image <path> [--out out_dir]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_model(image_size=(192, 640), variant="dino"):
+    from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
+    from scenedino_tpu.models.factory import (
+        SCENEDINO_KITTI_360,
+        make_model,
+        scenedino_dinov2_config,
+    )
+
+    conf = dict(SCENEDINO_KITTI_360 if variant == "dino" else scenedino_dinov2_config())
+    conf["encoder"] = {**conf["encoder"], "image_size": tuple(image_size)}
+    head = SemanticHead(cfg=SemanticHeadConfig())
+    return make_model(conf, downstream=head)
+
+
+def load_image(path, image_size=(192, 640)):
+    import cv2
+    from PIL import Image
+
+    with Image.open(path) as im:
+        img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+    img = cv2.resize(img, (image_size[1], image_size[0]), interpolation=cv2.INTER_LINEAR)
+    return (img * 2 - 1).transpose(2, 0, 1)[None, None]  # (1, 1, 3, H, W)
+
+
+def default_camera(image_size=(192, 640)):
+    # KITTI-360-like normalized intrinsics (demo_utils/utils.py defaults)
+    H, W = image_size
+    K = np.array([[0.7849, 0, 0.0021], [0, 2.9459, -0.0178], [0, 0, 1]], np.float32)
+    return K[None, None], np.eye(4, dtype=np.float32)[None, None]
+
+
+def inference_rendered_2d(field, params, state, image_size=(192, 640), n_coarse=32, seed=0):
+    """Full-frame depth + 768-d features (demo_utils/utils.py:199-236)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenedino_tpu.core.ray_sampler import ImageRaySampler
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.renderer.nerf import RenderConfig, render_rays_chunked
+
+    H, W = image_size
+    sampler = ImageRaySampler(3.0, 80.0, height=H, width=W)
+    poses_c2w = jnp.linalg.inv(state.color_w2c[:, :1])
+    rays = sampler.sample(jnp.zeros((1, 1, 3, H, W)), poses_c2w, state.color_ks[:, :1])
+
+    def field_fn(xyz, only_density=False):
+        return field.apply(params, state, xyz, only_density=only_density)
+
+    out = render_rays_chunked(
+        field_fn, rays[..., :8], jax.random.PRNGKey(seed), RenderConfig(n_coarse=n_coarse),
+        chunk=12288 if (H * W) % 12288 == 0 else H * W,
+    )
+    depth = np.asarray(out["coarse"]["depth"]).reshape(H, W)
+    dino64 = out["coarse"]["dino_features"]
+    dino768 = np.asarray(field.apply(params, dino64, method=SceneField.expand_dim)).reshape(H, W, -1)
+    return depth, dino768
+
+
+def inference_3d(field, params, state, x_range=(-10, 10), y_range=(-5, 5), z_range=(0, 20), resolution=0.2):
+    """Dense grid query (demo_utils/utils.py:144-186): returns
+    (xyz (N, 3), dino_768, sigma, seg or None)."""
+    import jax.numpy as jnp
+
+    from scenedino_tpu.models.field import SceneField
+
+    xs = np.arange(x_range[0], x_range[1], resolution, dtype=np.float32)
+    ys = np.arange(y_range[0], y_range[1], resolution, dtype=np.float32)
+    zs = np.arange(z_range[0], z_range[1], resolution, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    xyz = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+
+    outs_sigma, outs_dino, outs_seg = [], [], []
+    chunk = 262144
+    for i in range(0, len(xyz), chunk):
+        block = jnp.asarray(xyz[i : i + chunk])[None]
+        if field.downstream is not None:
+            dino768, sigma, seg = field.apply(
+                params, state, block, method=SceneField.query_segmentation
+            )
+            outs_seg.append(np.asarray(jnp.argmax(seg, -1) if seg.ndim > 2 else seg)[0] if seg is not None else None)
+        else:
+            _, _, sigma, dino = field.apply(params, state, block, only_density=True)
+            dino768 = field.apply(params, dino, method=SceneField.expand_dim)
+        outs_sigma.append(np.asarray(sigma)[0])
+        outs_dino.append(np.asarray(dino768)[0])
+    sigma = np.concatenate(outs_sigma)
+    dino = np.concatenate(outs_dino)
+    seg = np.concatenate(outs_seg) if outs_seg and outs_seg[0] is not None else None
+    return xyz, dino, sigma, seg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=False, help="orbax dir or torch .pt checkpoint")
+    ap.add_argument("--image", required=True)
+    ap.add_argument("--out", default="demo_out")
+    ap.add_argument("--variant", default="dino", choices=["dino", "dinov2"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, load_checkpoint
+
+    field = build_model(variant=args.variant)
+    img = load_image(args.image)
+    K, pose = default_camera()
+
+    key = jax.random.PRNGKey(0)
+    params = field.init(
+        {"params": key, "augment": key}, jnp.asarray(img), jnp.asarray(K),
+        jnp.asarray(pose), method=SceneField.warmup,
+    )
+    if args.ckpt:
+        if args.ckpt.endswith(".pt"):
+            import torch
+
+            sd = torch.load(args.ckpt, map_location="cpu")["model"]
+            converted = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
+            params = {"params": converted["params"]}
+        else:
+            params = load_checkpoint(args.ckpt, target=params)
+
+    state = field.apply(
+        params, jnp.asarray(img), jnp.asarray(K), jnp.asarray(pose),
+        ids_encoder=(0,), method=SceneField.encode,
+    )
+    depth, dino = inference_rendered_2d(field, params, state)
+    os.makedirs(args.out, exist_ok=True)
+    np.save(os.path.join(args.out, "depth.npy"), depth)
+    np.save(os.path.join(args.out, "dino_features.npy"), dino.astype(np.float16))
+    print(f"depth range: [{depth.min():.2f}, {depth.max():.2f}]  features: {dino.shape}")
+
+    xyz, dino3d, sigma, seg = inference_3d(field, params, state)
+    np.save(os.path.join(args.out, "grid_sigma.npy"), sigma)
+    print(f"3d grid: {xyz.shape[0]} pts, occupied (sigma>0.2): {(sigma > 0.2).mean():.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Training entry point.
+
+Behavioral parity target: `train.py` (hydra CLI) + trainer initialize.
+Config is a YAML file (see configs/) selecting dataset / model / renderer /
+training blocks; `--stage semantic` runs the downstream distillation.
+
+Usage:
+  python -m scenedino_tpu.cli.train --config configs/train_scenedino_kitti_360.yaml
+  python -m scenedino_tpu.cli.train --config configs/train_semantic_kitti_360.yaml --stage semantic
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+
+import numpy as np
+
+
+def batch_iterator(dataset, batch_size, key_seed=0, shuffle=True, drop_last=True):
+    """Minimal host-side batcher (numpy collate, stacked leading dim)."""
+    n = len(dataset)
+    rng = np.random.RandomState(key_seed)
+
+    def it():
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
+            samples = [dataset[int(j)] for j in order[i : i + batch_size]]
+            keys = samples[0].keys()
+            yield {k: np.stack([s[k] for s in samples]) for k in keys if k in samples[0]}
+
+    return it
+
+
+def run_stage1(config):
+    import jax
+    import jax.numpy as jnp
+
+    from scenedino_tpu.datasets import make_datasets
+    from scenedino_tpu.losses.reconstruction import ReconstructionLossConfig
+    from scenedino_tpu.models.factory import make_model
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.parallel.mesh import make_mesh, shard_batch
+    from scenedino_tpu.renderer.nerf import RenderConfig
+    from scenedino_tpu.training.loop import LoopConfig, fit
+    from scenedino_tpu.training.trainer import (
+        TrainConfig,
+        init_train_state,
+        make_train_step,
+    )
+    from scenedino_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    train_ds, _ = make_datasets(config["dataset"])
+    field = make_model(config["model"])
+
+    rconf = config.get("renderer", {})
+    rcfg = RenderConfig(
+        n_coarse=rconf.get("n_coarse", 32),
+        n_fine=rconf.get("n_fine", 0),
+        lindisp=rconf.get("lindisp", True),
+        hard_alpha_cap=rconf.get("hard_alpha_cap", True),
+    )
+    tconf = config.get("training", {})
+    rs = tconf.get("ray_sampler", {})
+    tcfg = TrainConfig(
+        lr=tconf.get("optimizer", {}).get("args", {}).get("lr", 1e-4),
+        ray_batch_size=rs.get("args", {}).get("ray_batch_size", 2048),
+        patch_size=rs.get("args", {}).get("patch_size", 8),
+        z_near=rs.get("z_near", 3.0),
+        z_far=rs.get("z_far", 80.0),
+        compensate_artifacts=config["model"].get("compensate_artifacts", True),
+    )
+    lcfg = ReconstructionLossConfig()
+
+    sample = train_ds[0]
+    batch0 = {k: jnp.asarray(v)[None] for k, v in sample.items() if k in ("imgs", "poses", "projs")}
+    key = jax.random.PRNGKey(config.get("seed", 0))
+    params = field.init(
+        {"params": key, "augment": key},
+        batch0["imgs"], batch0["projs"], batch0["poses"], method=SceneField.warmup,
+    )
+    H, W = config["model"]["encoder"].get("image_size", (192, 640))
+    gt_patch = getattr(field.encoder, "gt_patch_size", 8)
+    gt_dim = field.encoder.vit_encoder.latent_size if hasattr(field.encoder, "vit_encoder") else 768
+    state, tx = init_train_state(
+        field, params, tcfg,
+        artifact_shape=(gt_dim, H // gt_patch, W // gt_patch) if tcfg.compensate_artifacts else None,
+    )
+
+    mesh = make_mesh()
+    step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
+    batch_size = config.get("batch_size", 4)
+
+    def data_iter():
+        for b in batch_iterator(train_ds, batch_size)():
+            yield shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items() if k in ("imgs", "poses", "projs")})
+
+    loop_cfg = LoopConfig(
+        output_path=config.get("output", {}).get("path", "out/run"),
+        num_epochs=tconf.get("num_epochs", 50),
+        checkpoint_every=tconf.get("checkpoint_every", 10000),
+        resume=tconf.get("continue", False),
+    )
+    with jax.set_mesh(mesh):
+        fit(state, step, data_iter, loop_cfg, key)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--stage", default="nvs", choices=["nvs", "semantic"])
+    args = ap.parse_args()
+
+    import yaml
+
+    logging.basicConfig(level=logging.INFO)
+    with open(args.config) as f:
+        config = yaml.safe_load(f)
+
+    if args.stage == "nvs":
+        run_stage1(config)
+    else:
+        raise SystemExit("semantic stage CLI wiring lands with the stage-2 loop")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Dataset factory (scenedino/datasets/__init__.py:17-261 parity)."""
+from __future__ import annotations
+
+from typing import Tuple
+
+from scenedino_tpu.datasets.labels import (  # noqa: F401
+    LABELS,
+    N_TRAIN_CLASSES,
+    TRAIN_CLASS_COLORS,
+    map_id_to_train_id,
+)
+
+
+def make_datasets(config: dict) -> Tuple:
+    """(train, test) datasets from a config dict with "type"."""
+    kind = config.get("type", "old_KITTI_360")
+    if kind in ("old_KITTI_360", "KITTI_360"):
+        from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
+
+        common = dict(
+            data_path=config["data_path"],
+            pose_path=config["pose_path"],
+            target_image_size=tuple(config.get("image_size", (192, 640))),
+            frame_count=config.get("data_fc", config.get("frame_count", 2)),
+            return_stereo=config.get("data_stereo", True),
+            return_fisheye=config.get("data_fisheye", True),
+            fisheye_rotation=config.get("fisheye_rotation", (0, -15)),
+            fisheye_offset=config.get("fisheye_offset", (10,)),
+            stereo_offset=config.get("stereo_offset", (1,)),
+            color_aug=config.get("color_aug", False),
+        )
+        train = KITTI360Dataset(split_path=config.get("split_path"), **common)
+        test = KITTI360Dataset(split_path=config.get("test_split_path"), **{**common, "color_aug": False})
+        return train, test
+    if kind in ("RealEstate10k", "re10k"):
+        from scenedino_tpu.datasets.re10k import RealEstate10kDataset
+
+        train = RealEstate10kDataset(
+            data_path=config["data_path"],
+            image_size=tuple(config.get("image_size", (256, 384))),
+            frame_count=config.get("data_fc", 4),
+            dilation=config.get("dilation", 3),
+        )
+        return train, train
+    if kind == "synthetic":
+        from scenedino_tpu.datasets.synthetic import SyntheticMultiViewDataset
+
+        ds = SyntheticMultiViewDataset(
+            length=config.get("length", 64),
+            n_views=config.get("n_views", 8),
+            image_size=tuple(config.get("image_size", (48, 96))),
+        )
+        return ds, ds
+    raise ValueError(f"unknown dataset type: {kind}")
+
+
+def make_test_dataset(config: dict):
+    """2D seg eval sets (datasets/__init__.py make_test_dataset parity)."""
+    kind = config.get("type")
+    if kind == "Cityscapes_seg":
+        from scenedino_tpu.datasets.seg2d import CityscapesSeg
+
+        return CityscapesSeg(root=config["data_path"], image_set=config.get("split", "val"))
+    if kind == "BDD_seg":
+        from scenedino_tpu.datasets.seg2d import BDDSeg
+
+        return BDDSeg(root=config["data_path"], image_set=config.get("split", "val"))
+    if kind == "SSCBench":
+        from scenedino_tpu.datasets.sscbench import SSCBenchDataset
+
+        return SSCBenchDataset(
+            data_path=config["data_path"], voxel_gt_path=config["voxel_gt_path"]
+        )
+    _, test = make_datasets(config)
+    return test

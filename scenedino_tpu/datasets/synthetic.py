@@ -1,0 +1,102 @@
+"""Synthetic multi-view dataset for smoke training / tests.
+
+No reference equivalent (the reference has no tests); this renders simple
+lambertian scenes of colored boxes on a ground plane with exact analytic
+geometry so the training loop can be exercised end-to-end with a real
+photometric signal and known depth, without KITTI data on disk.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color):
+    """Ray-march a scene of axis-aligned boxes + ground plane. Returns
+    (rgb (3, H, W) in [0,1], depth (H, W))."""
+    xs = (np.arange(W) + 0.5) / W * 2 - 1
+    ys = (np.arange(H) + 0.5) / H * 2 - 1
+    gx, gy = np.meshgrid(xs, ys)
+    fx, fy = K_ndc[0, 0], K_ndc[1, 1]
+    cx, cy = K_ndc[0, 2], K_ndc[1, 2]
+    dirs = np.stack([(gx - cx) / fx, (gy - cy) / fy, np.ones_like(gx)], -1)
+    R = pose_c2w[:3, :3]
+    o = pose_c2w[:3, 3]
+    d = dirs @ R.T
+    rgb = np.zeros((H, W, 3), np.float32)
+    depth = np.full((H, W), 1e5, np.float32)
+
+    # ground plane y = 1.5 (y down)
+    t_g = (1.5 - o[1]) / np.where(np.abs(d[..., 1]) > 1e-6, d[..., 1], 1e-6)
+    hit_g = (t_g > 0.1) & (t_g < depth)
+    depth = np.where(hit_g, t_g, depth)
+    rgb[hit_g] = np.array([0.4, 0.35, 0.3])
+
+    for (center, size, color) in boxes:
+        lo = np.asarray(center) - np.asarray(size) / 2
+        hi = np.asarray(center) + np.asarray(size) / 2
+        inv = 1.0 / np.where(np.abs(d) > 1e-9, d, 1e-9)
+        t0 = (lo - o) * inv
+        t1 = (hi - o) * inv
+        tmin = np.minimum(t0, t1).max(-1)
+        tmax = np.maximum(t0, t1).min(-1)
+        hit = (tmax > tmin) & (tmax > 0.1) & (tmin < depth) & (tmin > 0.1)
+        depth = np.where(hit, tmin, depth)
+        rgb[hit] = color
+
+    sky = depth > 9e4
+    rgb[sky] = np.array([0.6, 0.75, 0.95])
+    depth = np.where(sky, 0.0, depth)
+    return rgb.transpose(2, 0, 1), depth
+
+
+@dataclasses.dataclass
+class SyntheticMultiViewDataset:
+    """Returns the same dict layout as KITTI360Dataset with V views along a
+    forward-moving trajectory + small stereo baseline."""
+
+    length: int = 64
+    n_views: int = 8
+    image_size: Tuple[int, int] = (48, 96)
+    seed: int = 0
+
+    def __post_init__(self):
+        self.K = np.array([[1.1, 0, 0], [0, 1.1 * self.image_size[1] / self.image_size[0] / 2, 0], [0, 0, 1]], np.float32)
+
+    def __len__(self):
+        return self.length
+
+    def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(self.seed + index)
+        H, W = self.image_size
+        boxes = []
+        for _ in range(6):
+            center = np.array([rng.uniform(-6, 6), rng.uniform(-0.5, 1.0), rng.uniform(6, 30)])
+            size = rng.uniform(1.0, 4.0, 3)
+            color = rng.uniform(0.1, 0.9, 3).astype(np.float32)
+            boxes.append((center, size, color))
+
+        imgs, poses = [], []
+        V = self.n_views
+        n_t = V // 2
+        for t in range(n_t):
+            for lr in range(2):
+                pose = np.eye(4, dtype=np.float32)
+                pose[0, 3] = lr * 0.54  # stereo baseline
+                pose[2, 3] = t * 1.2  # forward motion
+                rgb, _ = _render_scene(pose, self.K, H, W, boxes, rng)
+                imgs.append(rgb * 2 - 1)
+                poses.append(pose)
+        # reorder to [left x n_t, right x n_t] to mirror KITTI-360's layout
+        order = [2 * t for t in range(n_t)] + [2 * t + 1 for t in range(n_t)]
+        imgs = [imgs[i] for i in order]
+        poses = [poses[i] for i in order]
+
+        return {
+            "imgs": np.stack(imgs).astype(np.float32),
+            "poses": np.stack(poses).astype(np.float32),
+            "projs": np.stack([self.K] * V).astype(np.float32),
+            "index": np.array([index]),
+        }

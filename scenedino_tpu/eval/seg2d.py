@@ -1,0 +1,96 @@
+"""2D unsupervised segmentation evaluator (KITTI-360 / Cityscapes / BDD).
+
+Behavioral parity target: `scenedino/evaluation/unified_evaluator.py` +
+`base_evaluator.py` — full-frame render per test image, SemanticHead
+predictions in each mode, 19x19 confusion accumulation, ILP pseudo-label
+assignment, (weighted) mIoU / accuracy (metrics.py:370-456).
+
+TPU layout: one jitted `predict` program (encode -> chunked render ->
+expand -> head) reused across frames; confusion accumulation on host.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenedino_tpu.core.ray_sampler import ImageRaySampler
+from scenedino_tpu.eval.metrics import evaluate_confusion, seg_confusion_matrix
+from scenedino_tpu.models.downstream import SemanticHead
+from scenedino_tpu.models.field import SceneField
+from scenedino_tpu.renderer.nerf import RenderConfig, render_rays_chunked
+
+MODES = ("stego_kmeans", "stego_linear", "direct_kmeans", "direct_linear")
+
+
+@dataclasses.dataclass
+class Seg2DEvaluator:
+    field: SceneField
+    head: SemanticHead
+    field_params: Dict
+    head_variables: Dict
+    image_size: tuple = (192, 640)
+    z_near: float = 3.0
+    z_far: float = 80.0
+    n_coarse: int = 32
+    chunk: int = 15360
+    n_classes: int = 19
+    modes: tuple = MODES
+
+    def __post_init__(self):
+        H, W = self.image_size
+        sampler = ImageRaySampler(self.z_near, self.z_far, height=H, width=W)
+        rcfg = RenderConfig(n_coarse=self.n_coarse)
+
+        def predict(field_params, head_variables, imgs, projs, poses, key):
+            state = self.field.apply(
+                field_params, imgs, projs, poses, ids_encoder=(0,),
+                method=SceneField.encode,
+            )
+            rays = sampler.sample(imgs, poses, projs)
+
+            def field_fn(xyz, only_density=False):
+                return self.field.apply(field_params, state, xyz, only_density=only_density)
+
+            out = render_rays_chunked(field_fn, rays[..., :8], key, rcfg, chunk=self.chunk)
+            dino64 = out["coarse"]["dino_features"]
+            dino768 = self.field.apply(field_params, dino64, method=SceneField.expand_dim)
+            preds = {
+                mode: self.head.apply(head_variables, dino768, mode=mode).reshape(H, W)
+                for mode in self.modes
+            }
+            preds["depth"] = out["coarse"]["depth"].reshape(H, W)
+            return preds
+
+        self._predict = jax.jit(predict)
+
+    def run(self, dataset: Iterable, max_frames: Optional[int] = None) -> Dict:
+        """Accumulate confusions over a dataset of seg2d samples."""
+        conf = {m: np.zeros((self.n_classes, self.n_classes), np.int64) for m in self.modes}
+        n = 0
+        for i, sample in enumerate(dataset):
+            if max_frames is not None and i >= max_frames:
+                break
+            imgs = jnp.asarray(sample["imgs"])[None]
+            poses = jnp.asarray(sample["poses"])[None]
+            projs = jnp.asarray(sample["projs"])[None]
+            target = np.asarray(sample["segs"][0])
+            preds = self._predict(
+                self.field_params, self.head_variables, imgs, projs, poses,
+                jax.random.PRNGKey(i),
+            )
+            for m in self.modes:
+                conf[m] += np.asarray(
+                    seg_confusion_matrix(jnp.asarray(target), preds[m], self.n_classes)
+                )
+            n += 1
+
+        results = {}
+        for m in self.modes:
+            assign = "kmeans" in m  # cluster heads need pseudo matching
+            results[m] = evaluate_confusion(conf[m], assign_pseudo=assign)
+        results["n_frames"] = n
+        return results

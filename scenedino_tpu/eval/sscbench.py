@@ -1,0 +1,266 @@
+"""SSCBench-KITTI-360 voxel evaluator.
+
+Behavioral parity target: `sscbench/evaluate_model_sscbench.py` +
+`sscbench/point_utils.py` + `sscbench/label_maps.yaml` — all eval constants
+reproduced exactly: sigma cutoff 0.2, alpha weighting at 0.2 m voxels, 3^3
+grow max-pool, visibility carving (`remove_invisible`,
+gen_voxelgrid_npy.py:171-185), additional-invalids rule
+(evaluate_model_sscbench.py:814-827), fov mask from the SSCBench calib, and
+the direct + Hungarian mIoU tables over ranges 12.8 / 25.6 / 51.2 m.
+
+TPU redesign: the 256x256x32 voxel grid is queried by a jitted
+`lax.map` over static 128x128x32-point blocks (one compiled program,
+reference loops blocks in python, :711-753); pooling/thresholding stays
+on-device; confusion accumulation is host-side numpy like the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenedino_tpu.eval.metrics import pseudo_label_assignment
+
+SIGMA_CUTOFF = 0.2
+VOXEL_SIZE = 0.2
+SIZES = (12.8, 25.6, 51.2)
+VOX_ORIGIN = np.array([0.0, -25.6, -2.0], np.float32)
+SCENE_SIZE = (51.2, 51.2, 6.4)
+IMG_W, IMG_H = 1408, 376
+
+# SSCBench-KITTI-360 calibration (point_utils.py:84-157)
+CAM_K = np.array(
+    [[552.554261, 0.0, 682.049453], [0.0, 552.554261, 238.769549], [0.0, 0.0, 1.0]],
+    np.float64,
+)
+CAM2VELO = np.array(
+    [
+        [0.04307104361, -0.08829286498, 0.995162929, 0.8043914418],
+        [-0.999004371, 0.007784614041, 0.04392796942, 0.2993489574],
+        [-0.01162548558, -0.9960641394, -0.08786966659, -0.1770225824],
+        [0.0, 0.0, 0.0, 1.0],
+    ],
+    np.float64,
+)
+VELO2CAM = np.linalg.inv(CAM2VELO)
+
+# label_maps.yaml
+SSCBENCH_TO_LABEL = {
+    0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 8: 8, 9: 8, 10: 12,
+    11: 9, 12: 10, 13: 11, 14: 12, 15: 13, 16: 14, 17: 9, 18: 15, 19: 0, 255: 255,
+}
+CITYSCAPES_TO_LABEL = {
+    0: 7, 1: 8, 2: 9, 3: 9, 4: 10, 5: 13, 6: 15, 7: 14, 8: 11, 9: 12, 10: 0,
+    11: 6, 12: 0, 13: 1, 14: 4, 15: 5, 16: 5, 17: 3, 18: 2,
+}
+LABELS = {
+    0: "unlabeled", 1: "car", 2: "bicycle", 3: "motorcycle", 4: "truck",
+    5: "other-vehicle", 6: "person", 7: "road", 8: "sidewalk", 9: "building",
+    10: "fence", 11: "vegetation", 12: "terrain", 13: "pole",
+    14: "traffic-sign", 15: "other-object",
+}
+N_LABELS = 16  # incl. unlabeled
+
+
+def convert_voxels(arr, map_dict):
+    """Vectorized label remap (evaluate_model_sscbench.py:856-858)."""
+    lut = np.zeros(256, dtype=np.int64)
+    for k, v in map_dict.items():
+        lut[k] = v
+    return lut[np.asarray(arr, np.int64)]
+
+
+def generate_point_grid(voxel_size=VOXEL_SIZE, vox_origin=VOX_ORIGIN, scene_size=SCENE_SIZE):
+    """Voxel-center points in the camera frame + fov mask
+    (point_utils.py:17-82). Returns (pts (N, 3) float32 cam coords,
+    fov_mask (N,) bool) with N = 256*256*32 at 0.2 m."""
+    vol_dim = np.ceil(np.array(scene_size) / voxel_size).astype(int)
+    xv, yv, zv = np.meshgrid(range(vol_dim[0]), range(vol_dim[1]), range(vol_dim[2]), indexing="ij")
+    coords = np.stack([xv.reshape(-1), yv.reshape(-1), zv.reshape(-1)], 1).astype(np.float32)
+    velo_pts = vox_origin[None] + voxel_size * coords + voxel_size * 0.5
+
+    cam_pts = (VELO2CAM[:3, :3] @ velo_pts.T).T + VELO2CAM[:3, 3]
+    pix_x = np.round(cam_pts[:, 0] * CAM_K[0, 0] / cam_pts[:, 2] + CAM_K[0, 2]).astype(np.int64)
+    pix_y = np.round(cam_pts[:, 1] * CAM_K[1, 1] / cam_pts[:, 2] + CAM_K[1, 2]).astype(np.int64)
+    pix_z = cam_pts[:, 2]
+    fov_mask = (
+        (pix_x >= 0) & (pix_x < IMG_W) & (pix_y >= 0) & (pix_y < IMG_H) & (pix_z > 0)
+    )
+    return cam_pts.astype(np.float32), fov_mask
+
+
+def get_fov_mask():
+    _, m = generate_point_grid()
+    return m.reshape(256, 256, 32)
+
+
+def remove_invisible(volume):
+    """Visibility carving: drop voxels with >= 6 occupied face-neighbors
+    (gen_voxelgrid_npy.py:171-185). volume: (X, Y, Z) bool jnp/np."""
+    v = jnp.asarray(volume, jnp.float32)[None, None]
+    kernel = jnp.zeros((3, 3, 3), jnp.float32)
+    for di, dj, dk in [(0, 1, 1), (2, 1, 1), (1, 0, 1), (1, 2, 1), (1, 1, 0), (1, 1, 2)]:
+        kernel = kernel.at[di, dj, dk].set(1.0)
+    n = jax.lax.conv_general_dilated(
+        v, kernel[None, None], (1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=("NCXYZ", "OIXYZ", "NCXYZ"),
+    )[0, 0]
+    hidden = n >= 6
+    return jnp.asarray(volume, bool) & ~hidden
+
+
+def identify_additional_invalids(target):
+    """Voxels shadowed before the first occupied/invalid along z
+    (evaluate_model_sscbench.py:814-827). target: (256, 256, 32) labels."""
+    t = np.concatenate([np.zeros([256, 256, 1]), target], axis=2)
+    invalids = np.cumsum(np.logical_and(t != 255, t != 0), axis=2)[:, :, :32] == 0
+    invalids[:, :, 7:] = 0
+    invalids[target != 0] = 0
+    return invalids
+
+
+def grow_sigmas(sigmas):
+    """3^3 max-pool stride 1 (evaluate_model_sscbench.py:755-756)."""
+    x = jnp.asarray(sigmas)[None, None]
+    out = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, 3, 3, 3), (1, 1, 1, 1, 1),
+        [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1)],
+    )
+    return out[0, 0]
+
+
+def make_grid_predictor(query_fn, chunk_points=128 * 128 * 32, grow=True):
+    """Build a jitted dense-grid predictor.
+
+    query_fn(pts (1, P, 3)) -> (sigma (1, P), seg_probs (1, P, 19))
+    (the `net.forward(pts, predict_segmentation=True)` contract).
+    Returns predict(pts (N, 3)) -> (sigmas (256,256,32), segs (256,256,32))
+    with alpha-weighted seg argmax (evaluate_model_sscbench.py:711-753).
+    """
+
+    def predict(pts):
+        N = pts.shape[0]
+        assert N % chunk_points == 0
+        blocks = pts.reshape(-1, chunk_points, 3)
+
+        def eval_block(block):
+            sigma, seg = query_fn(block[None])
+            sigma = sigma[0]
+            seg = seg[0]
+            alphas = 1.0 - jnp.exp(-VOXEL_SIZE * sigma)
+            weighted = alphas[:, None] * seg
+            return sigma, jnp.argmax(weighted, -1)
+
+        sigmas, segs = jax.lax.map(eval_block, blocks)
+        sigmas = sigmas.reshape(256, 256, 32)
+        segs = segs.reshape(256, 256, 32)
+        if grow:
+            sigmas = grow_sigmas(sigmas)
+        return sigmas, segs
+
+    return jax.jit(predict)
+
+
+def compute_occupancy_numbers(y_pred, y_true, fov_mask):
+    """(evaluate_model_sscbench.py:908-924)."""
+    mask = (y_true != 255) & fov_mask
+    occ_true = (y_true > 0)[mask]
+    occ_pred = (y_pred > 0)[mask]
+    tp = int(np.sum(occ_true & occ_pred))
+    fp = int(np.sum(~occ_true & occ_pred))
+    fn = int(np.sum(occ_true & ~occ_pred))
+    tn = int(np.sum(~occ_true & ~occ_pred))
+    return tp, fp, tn, fn
+
+
+def compute_occupancy_numbers_segmentation(y_pred, y_true, fov_mask):
+    """Per-class tp/fp/tn/fn + 16x16 confusion (:862-886)."""
+    mask = ((y_true != 255) & fov_mask).reshape(-1)
+    yp = y_pred.reshape(-1)[mask]
+    yt = y_true.reshape(-1)[mask]
+    n = N_LABELS - 1
+    tp = np.zeros(n)
+    fp = np.zeros(n)
+    fn = np.zeros(n)
+    tn = np.zeros(n)
+    for lab in range(1, N_LABELS):
+        tp[lab - 1] = np.sum((yt == lab) & (yp == lab))
+        fp[lab - 1] = np.sum((yt != lab) & (yp == lab))
+        fn[lab - 1] = np.sum((yt == lab) & (yp != lab))
+        tn[lab - 1] = np.sum((yt != lab) & (yp != lab))
+    conf = np.bincount(N_LABELS * yt + yp, minlength=N_LABELS * N_LABELS).reshape(N_LABELS, N_LABELS)
+    return tp, fp, tn, fn, conf
+
+
+@dataclasses.dataclass
+class SSCAccumulator:
+    """Running per-range stats (evaluate_model_sscbench.py:284-299)."""
+
+    results: Dict = dataclasses.field(
+        default_factory=lambda: {
+            size: {
+                "tp": 0, "fp": 0, "tn": 0, "fn": 0,
+                "tp_seg": np.zeros(15), "fp_seg": np.zeros(15),
+                "tn_seg": np.zeros(15), "fn_seg": np.zeros(15),
+                "confusion_seg": np.zeros((N_LABELS, N_LABELS)),
+            }
+            for size in SIZES
+        }
+    )
+
+    def add_frame(self, sigmas, segs, voxel_gt, fov_mask, use_additional_invalids=True):
+        """sigmas/segs: (256,256,32) np arrays (segs in cityscapes ids);
+        voxel_gt: (256,256,32) raw sscbench labels."""
+        segs = convert_voxels(segs, CITYSCAPES_TO_LABEL)
+        target = convert_voxels(voxel_gt.astype(int), SSCBENCH_TO_LABEL)
+
+        occupied = np.array(remove_invisible(jnp.asarray(sigmas > SIGMA_CUTOFF)))
+        occupied[segs == 0] = False
+        segs = np.where(occupied, segs, 0)
+
+        if use_additional_invalids:
+            inv = identify_additional_invalids(target)
+            target = np.where(inv, 255, target)
+
+        for size in SIZES:
+            nv = int(size // 0.2)
+            sl = np.s_[:nv, 128 - nv // 2 : 128 + nv // 2, :]
+            _segs, _target, _fov = segs[sl], target[sl], fov_mask[sl]
+            tp, fp, tn, fn = compute_occupancy_numbers(_segs, _target, _fov)
+            tps, fps, tns, fns, conf = compute_occupancy_numbers_segmentation(_segs, _target, _fov)
+            r = self.results[size]
+            r["tp"] += tp; r["fp"] += fp; r["tn"] += tn; r["fn"] += fn
+            r["tp_seg"] += tps; r["fp_seg"] += fps; r["tn_seg"] += tns; r["fn_seg"] += fns
+            r["confusion_seg"] += conf
+
+    def summarize(self) -> Dict:
+        """Direct + Hungarian mIoU tables (evaluate_model_sscbench.py:536-609)."""
+        out = {}
+        for size in SIZES:
+            r = self.results[size]
+            denom = r["tp"] + r["fp"] + r["fn"]
+            occ_iou = r["tp"] / max(denom, 1)
+            direct_iou = r["tp_seg"] / np.maximum(r["tp_seg"] + r["fp_seg"] + r["fn_seg"], 1)
+
+            conf = r["confusion_seg"][1:, 1:]  # drop unlabeled for matching
+            assignment = pseudo_label_assignment(conf)
+            remapped = np.zeros_like(conf)
+            np.add.at(remapped.T, assignment, conf.T)
+            tp_h = np.diag(remapped).astype(np.float64)
+            fp_h = remapped.sum(0) - tp_h
+            fn_h = remapped.sum(1) - tp_h
+            hung_iou = tp_h / np.maximum(tp_h + fp_h + fn_h, 1)
+
+            out[size] = {
+                "occ_iou": float(occ_iou),
+                "occ_precision": float(r["tp"] / max(r["tp"] + r["fp"], 1)),
+                "occ_recall": float(r["tp"] / max(r["tp"] + r["fn"], 1)),
+                "direct_per_class_iou": direct_iou,
+                "direct_miou": float(direct_iou.mean()),
+                "hungarian_per_class_iou": hung_iou,
+                "hungarian_miou": float(hung_iou.mean()),
+            }
+        return out

@@ -133,7 +133,9 @@ def reconstruction_loss(
     total = total + loss_rgb * cfg.lambda_coarse
 
     if cfg.reconstruct_dino and "dino_features" in coarse:
-        dino = coarse["dino_features"]
+        # downsample-prediction mode compares patch-pooled predictions
+        # (reconstruction_loss.py:265-270); smoothness (below) stays per-pixel
+        dino = coarse.get("dino_features_downsampled", coarse["dino_features"])
         dino_gt = data["dino_gt"]
         d_err = cosine_error(cfg.temperature_dino * dino, cfg.temperature_dino * dino_gt)
         loss_dino = jnp.nanmean(d_err)

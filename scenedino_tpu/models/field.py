@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from flax import struct
@@ -118,14 +119,25 @@ class SceneField(nn.Module):
         """
         B, V = images.shape[:2]
         all_ids = tuple(range(V))
-        ids_encoder = tuple(ids_encoder) if ids_encoder is not None else all_ids
-        ids_render = tuple(ids_render) if ids_render is not None else all_ids
-        ids_loss = tuple(ids_loss) if ids_loss is not None else all_ids
+
+        def take(x, ids):
+            """Select views: static tuples OR traced index arrays (dynamic
+            loss/render frame assignment compiles once — a TPU-first
+            replacement for the reference's python-level id lists)."""
+            if ids is None:
+                return x
+            if isinstance(ids, (tuple, list)):
+                return x[:, tuple(ids)]
+            return jnp.take(x, ids, axis=1)
+
+        ids_encoder = ids_encoder if ids_encoder is not None else all_ids
+        ids_render = ids_render if ids_render is not None else all_ids
+        ids_loss = ids_loss if ids_loss is not None else all_ids
 
         poses_w2c = jnp.linalg.inv(poses_c2w.astype(jnp.float32))
 
-        imgs_enc = images[:, ids_encoder]
-        ne = len(ids_encoder)
+        imgs_enc = take(images, ids_encoder)
+        ne = imgs_enc.shape[1]
         feats = self.encoder(imgs_enc.reshape(B * ne, *imgs_enc.shape[2:]))
         if isinstance(feats, (list, tuple)):
             feats = feats[0]
@@ -133,23 +145,23 @@ class SceneField(nn.Module):
 
         loss_feats = None
         if with_loss_feats:
-            imgs_loss = images[:, ids_loss]
-            if loss_feature_grid_shift is not None and loss_feature_grid_shift != (0, 0):
+            imgs_loss = take(images, ids_loss)
+            if loss_feature_grid_shift is not None:
                 imgs_loss = _shift_pad_crop(imgs_loss, loss_feature_grid_shift)
-            nl = len(ids_loss)
+            nl = imgs_loss.shape[1]
             lf = self.encoder(imgs_loss.reshape(B * nl, *imgs_loss.shape[2:]), ground_truth=True)
             if isinstance(lf, (list, tuple)):
                 lf = lf[0]
             loss_feats = lf.reshape(B, nl, *lf.shape[1:])
 
-        color_imgs = images[:, ids_render] * 0.5 + 0.5
+        color_imgs = take(images, ids_render) * 0.5 + 0.5
         return SceneState(
             feat_grid=feat_grid,
-            feat_ks=ks[:, ids_encoder],
-            feat_w2c=poses_w2c[:, ids_encoder],
+            feat_ks=take(ks, ids_encoder),
+            feat_w2c=take(poses_w2c, ids_encoder),
             color_imgs=jnp.asarray(color_imgs),
-            color_ks=ks[:, ids_render],
-            color_w2c=poses_w2c[:, ids_render],
+            color_ks=take(ks, ids_render),
+            color_w2c=take(poses_w2c, ids_render),
             loss_feats=loss_feats,
         )
 
@@ -233,6 +245,40 @@ class SceneField(nn.Module):
         invalid = (inv_c | jnp.all(invalid_features, axis=-1, keepdims=True)).astype(rgb.dtype)
         return rgb, invalid, sigma, dino
 
+    def warmup(
+        self,
+        images: jnp.ndarray,
+        ks: jnp.ndarray,
+        poses_c2w: jnp.ndarray,
+    ):
+        """Single-init path touching encode (student+teacher), query heads,
+        dim expansion and downsampling. Use
+        `field.init({"params": k, "augment": k}, imgs, ks, poses,
+        method=SceneField.warmup)` to build the complete parameter tree.
+        """
+        has_enc_warmup = hasattr(self.encoder, "warmup")
+        if has_enc_warmup:
+            # covers teacher, downsampler and dim-reduction params
+            self.encoder.warmup(images.reshape(-1, *images.shape[2:]))
+        state = self.encode(images, ks, poses_c2w, ids_encoder=(0,), with_loss_feats=True)
+        xyz = jnp.zeros((images.shape[0], 4, 3))
+        out = self(state, xyz)
+        if self.cfg.predict_dino and not has_enc_warmup:
+            _ = self.expand_dim(out[3])
+        if self.downstream is not None:
+            _ = self.query_segmentation(state, xyz)
+        return state
+
+    def expand_dim(self, features):
+        """64-d field feature -> 768-d DINO space (encoder.dim_reduction)."""
+        return self.encoder.expand_dim(features)
+
+    def downsample(self, features, mode="patch"):
+        """Pool rendered pixel features back to the teacher patch grid."""
+        if hasattr(self.encoder, "downsample"):
+            return self.encoder.downsample(features, mode)
+        return None
+
     def query_segmentation(self, state: SceneState, xyz: jnp.ndarray, mode: str = "stego_kmeans"):
         """SSC path: (dino_full_768, sigma, seg_logits). bts.py:553-593."""
         _, _, sigma, dino = self(state, xyz, only_density=True)
@@ -245,13 +291,13 @@ class SceneField(nn.Module):
 
 def _shift_pad_crop(imgs, shift, pad=8):
     """Edge-pad by 8 then crop with an (i, j) offset — the DINO patch-grid
-    shift augmentation (bts.py:196-206)."""
+    shift augmentation (bts.py:196-206). `shift` may be traced ints."""
     i = pad + shift[0]
     j = pad + shift[1]
     B, V, C, H, W = imgs.shape
     x = imgs.reshape(B * V, C, H, W)
     x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
-    x = x[:, :, i : i + H, j : j + W]
+    x = jax.lax.dynamic_slice(x, (0, 0, i, j), (B * V, C, H, W))
     return x.reshape(B, V, C, H, W)
 
 

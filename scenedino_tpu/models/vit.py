@@ -179,10 +179,12 @@ class VisionTransformer(nn.Module):
         x = jnp.concatenate(tokens + [x], axis=1)
 
         grid0 = (cfg.pos_embed_size[0] // P, cfg.pos_embed_size[1] // P)
+        # timm stores pos_embed for [cls, patches] only — registers carry no
+        # positional code (they are concatenated after the pos-add).
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
-            (1, T + grid0[0] * grid0[1], cfg.width),
+            (1, 1 + grid0[0] * grid0[1], cfg.width),
         )
         # DINOv2 (timm) adds pos-embed to patch tokens and cls but NOT registers;
         # timm implements this by concatenating registers after pos-add when

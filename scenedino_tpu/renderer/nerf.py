@@ -108,6 +108,40 @@ def render_rays(
     return out
 
 
+def render_rays_chunked(
+    field_fn: FieldFn,
+    rays: jnp.ndarray,  # (B, R, >=8)
+    key: jax.Array,
+    cfg: RenderConfig,
+    chunk: int = 16384,
+    **kwargs,
+) -> Dict:
+    """Memory-bounded full-frame rendering: `lax.map` over ray tiles.
+
+    The jit-native replacement for the reference's eval_batch_size python
+    split loop (nerf.py:268-298): tiles are static-shaped, sequentially
+    scheduled by XLA, and the peak live set is one tile's samples.
+    R must be divisible by `chunk` (pad rays with dummies otherwise).
+    """
+    B, R, rd = rays.shape
+    if R <= chunk:
+        return render_rays(field_fn, rays, key, cfg, **kwargs)
+    assert R % chunk == 0, f"ray count {R} not divisible by chunk {chunk}"
+    T = R // chunk
+    tiles = rays.reshape(B, T, chunk, rd).transpose(1, 0, 2, 3)  # (T, B, c, rd)
+    keys = jax.random.split(key, T)
+
+    out = jax.lax.map(
+        lambda args: render_rays(field_fn, args[0], args[1], cfg, **kwargs),
+        (tiles, keys),
+    )
+    # stack back: each leaf (T, B, chunk, ...) -> (B, T*chunk, ...)
+    def restack(x):
+        return x.transpose(1, 0, *range(2, x.ndim)).reshape(B, T * x.shape[2], *x.shape[3:])
+
+    return jax.tree_util.tree_map(restack, out)
+
+
 def _composite(field_fn, rays, z_samp, cfg, sb, noise_key, training):
     """One compositing pass (nerf.py:230-449), fully vectorized."""
     BR, K = z_samp.shape

@@ -1,0 +1,155 @@
+"""Training engine: step loop, checkpoints, validation hooks, logging.
+
+Behavioral parity target: `scenedino/training/base_trainer.py`
+(base_training:37, create_trainer:179, create_validators:316) — periodic
+checkpoint every N iterations (n_saved=1), best-metric checkpoints with an
+`update_model` hook that writes the validation pseudo-assignment back into
+the model, NaN termination, resume from the newest checkpoint, per-step
+timing metrics, TensorBoard scalars.
+
+TPU redesign: the ignite Engine/event machinery collapses into a plain
+python loop around one jitted step; checkpoints are orbax pytrees;
+rank-gating becomes `jax.process_index() == 0`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("training")
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    output_path: str = "out/run"
+    num_epochs: int = 50
+    checkpoint_every: int = 10000
+    log_every: int = 100
+    validate_every: int = 10000
+    stop_iteration: Optional[int] = None  # resume-test hook (base_trainer.py:150-156)
+    resume: bool = False
+
+
+class MetricLogger:
+    """TensorBoard scalars via tensorboardX (handlers.py parity); no-op if
+    unavailable or not process 0."""
+
+    def __init__(self, logdir):
+        self.writer = None
+        if jax.process_index() == 0:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(logdir)
+            except Exception:  # pragma: no cover
+                logger.warning("tensorboardX unavailable; scalar logging disabled")
+
+    def scalars(self, tag: str, values: Dict[str, Any], step: int):
+        if self.writer is None:
+            return
+        for k, v in values.items():
+            try:
+                self.writer.add_scalar(f"{tag}/{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+def find_latest_checkpoint(output_path: str) -> Optional[str]:
+    """Newest `training_checkpoint_<iter>` dir (base_trainer auto-resume)."""
+    ckpts = sorted(
+        Path(output_path).glob("training_checkpoint_*"),
+        key=lambda p: int(p.name.rsplit("_", 1)[1]),
+    )
+    return str(ckpts[-1]) if ckpts else None
+
+
+def fit(
+    state,
+    train_step: Callable,
+    data_iter_fn: Callable[[], Iterable],
+    cfg: LoopConfig,
+    key: jax.Array,
+    validators: Optional[Dict[str, Callable]] = None,
+    update_model_fn: Optional[Callable] = None,
+    steps_per_epoch: Optional[int] = None,
+):
+    """Run the training loop; returns the final state.
+
+    train_step(state, batch, key) -> (state, losses) — jitted outside.
+    validators: name -> fn(state) -> metrics dict; `update_model_fn(state,
+    metrics)` may return a modified state (the pseudo-assignment write-back,
+    base_trainer.py:446-474).
+    """
+    from scenedino_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    os.makedirs(cfg.output_path, exist_ok=True)
+    tb = MetricLogger(os.path.join(cfg.output_path, "tb"))
+
+    if cfg.resume:
+        latest = find_latest_checkpoint(cfg.output_path)
+        if latest:
+            logger.info("resuming from %s", latest)
+            state = load_checkpoint(latest, target=state)
+
+    it = int(np.asarray(state.step))
+    best = {}
+    t_data = t_step = 0.0
+    try:
+        for epoch in range(cfg.num_epochs):
+            t0 = time.perf_counter()
+            for batch in data_iter_fn():
+                t_data += time.perf_counter() - t0
+                key, sub = jax.random.split(key)
+                state, losses = train_step(state, batch, sub)
+                it += 1
+
+                if it % cfg.log_every == 0:
+                    losses = jax.device_get(losses)
+                    if not np.isfinite(losses.get("rec_loss", losses.get("total_loss", 0.0))):
+                        raise FloatingPointError(f"non-finite loss at iter {it}: {losses}")
+                    tb.scalars("train", losses, it)
+                    tb.scalars("timing", {"t_data": t_data, "t_step": t_step}, it)
+                    logger.info("iter %d: %s", it, {k: round(float(v), 5) for k, v in losses.items()})
+                    t_data = t_step = 0.0
+
+                if it % cfg.checkpoint_every == 0 and jax.process_index() == 0:
+                    path = os.path.join(cfg.output_path, f"training_checkpoint_{it}")
+                    save_checkpoint(os.path.abspath(path), jax.device_get(state))
+                    # n_saved=1: drop older periodic checkpoints
+                    for old in Path(cfg.output_path).glob("training_checkpoint_*"):
+                        if old.name != f"training_checkpoint_{it}":
+                            import shutil
+
+                            shutil.rmtree(old, ignore_errors=True)
+
+                if validators and it % cfg.validate_every == 0:
+                    for name, v in validators.items():
+                        metrics = v(state)
+                        tb.scalars(f"val/{name}", {
+                            k: m for k, m in metrics.items() if np.isscalar(m) or getattr(m, "ndim", 1) == 0
+                        }, it)
+                        if update_model_fn is not None:
+                            state = update_model_fn(state, metrics) or state
+
+                if cfg.stop_iteration and it >= cfg.stop_iteration:
+                    logger.info("stop_iteration %d reached", cfg.stop_iteration)
+                    return state
+                t_step += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                if steps_per_epoch and it % steps_per_epoch == 0:
+                    break
+    finally:
+        tb.close()
+    return state

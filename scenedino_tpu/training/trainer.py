@@ -1,0 +1,296 @@
+"""Stage-1 self-supervised training (pure-functional train step under pjit).
+
+Behavioral parity target: `scenedino/training/trainer.py` (BTSWrapper:45,
+initialize:525) + `base_trainer.py` (train_step:206). The whole per-batch
+pipeline — pose rebase, frame-id sampling, patch-grid shift augmentation,
+encode, patch ray sampling, rendering, reconstruct, expand+downsample,
+loss — is ONE jitted function differentiated end-to-end and pjit-sharded
+over the batch/data mesh axis. Gradient all-reduce is implicit in pjit.
+
+Differences by design (TPU-first):
+  * randomness via explicit PRNG keys (frame split, patch coords, strata);
+  * loss/render frame ids are dynamic index arrays (one compilation)
+    instead of python lists (reference: sampling_strategies.py:122-137);
+  * no AMP GradScaler — bf16 matmuls are native; sensitive math stays fp32.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from scenedino_tpu.core.ray_sampler import PatchRaySampler
+from scenedino_tpu.losses.reconstruction import ReconstructionLossConfig, reconstruction_loss
+from scenedino_tpu.models.field import SceneField
+from scenedino_tpu.renderer.nerf import RenderConfig, render_rays
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """configs/train_scenedino_kitti_360.yaml + training/scenedino.yaml."""
+
+    lr: float = 1e-4
+    encoder_lr_factor: float = 0.1  # ViT fine-tuned at lr/10 (trainer.py:562-574)
+    scheduler_step: int = 120000
+    scheduler_gamma: float = 0.1
+    ray_batch_size: int = 2048
+    patch_size: int = 8
+    z_near: float = 3.0
+    z_far: float = 80.0
+    n_frames_render: int = 4
+    compensate_artifacts: bool = True
+    flip_augmentation: bool = True
+    grid_shift_augmentation: bool = True
+    weight_dtype: Any = jnp.float32
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    artifact_field: Optional[jnp.ndarray] = None  # (Cd, Gh, Gw) GT-noise compensation
+    artifact_opt_state: Any = None
+
+
+def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
+    """Adam with 3 LR groups: default, DPT decoder (lr), ViT encoder (lr/10)
+    with a step-decay schedule (trainer.py:556-575, scheduler config)."""
+
+    def sched(base):
+        return optax.exponential_decay(
+            base, cfg.scheduler_step, cfg.scheduler_gamma, staircase=True
+        )
+
+    def label_fn(p):
+        def walk(tree, path=()):
+            if isinstance(tree, (dict, FrozenDict)):
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            # fine-tune the ViT backbone at lr/10 (not the DPT decoder)
+            if "vit_encoder" in path and "gt_encoder" not in path:
+                return "encoder"
+            return "default"
+
+        return walk(p)
+
+    return optax.multi_transform(
+        {
+            "default": optax.adam(sched(cfg.lr)),
+            "encoder": optax.adam(sched(cfg.lr * cfg.encoder_lr_factor)),
+        },
+        label_fn,
+    )
+
+
+def sample_frame_split(key, n_frames: int):
+    """Per stereo pair, pick loss vs render frame with p(base)=2/3 — matches
+    `kitti_360_loss_sampler` (sampling_strategies.py:139-155, randint(0,2)).
+
+    Returns (ids_loss, ids_render) int32 arrays of length n_frames//2.
+    """
+    n_pairs = n_frames // 2
+    base = jnp.arange(n_pairs, dtype=jnp.int32) * 2
+    coin = (jax.random.randint(key, (n_pairs,), 0, 3) == 0).astype(jnp.int32)
+    ids_loss = base + coin
+    ids_render = base + (1 - coin)
+    return ids_loss, ids_render
+
+
+def stage1_forward(
+    field: SceneField,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    cfg: TrainConfig,
+    rcfg: RenderConfig,
+    lcfg: ReconstructionLossConfig,
+    artifact_field: Optional[jnp.ndarray] = None,
+    training: bool = True,
+):
+    """One full stage-1 forward returning (loss, loss_dict).
+
+    batch: imgs (B, V, 3, H, W) in [-1,1]; poses (B, V, 4, 4) c2w;
+    projs (B, V, 3, 3) normalized K.
+    """
+    imgs = batch["imgs"]
+    poses = batch["poses"]
+    projs = batch["projs"]
+    B, V, _, H, W = imgs.shape
+
+    k_split, k_shift, k_flip, k_patch, k_render = jax.random.split(key, 5)
+
+    # pose rebase to frame 0 (trainer.py:138-140)
+    to_base = jnp.linalg.inv(poses[:, :1].astype(jnp.float32))
+    poses = to_base @ poses
+
+    if training:
+        ids_loss, ids_render = sample_frame_split(k_split, V)
+    else:
+        n_pairs = V // 2
+        ids_loss = jnp.arange(n_pairs, dtype=jnp.int32) * 2
+        ids_render = ids_loss + 1
+
+    # teacher patch size governs the loss grid + shift range
+    gt_patch = getattr(field.encoder, "gt_patch_size", None)
+    if gt_patch is None:
+        gt = getattr(field.encoder, "gt_encoder", None)
+        gt_patch = gt.patch_size if gt is not None else cfg.patch_size
+    shift = None
+    if training and cfg.grid_shift_augmentation:
+        shift = jax.random.randint(k_shift, (2,), -(gt_patch // 2), gt_patch // 2)
+
+    # flip augmentation applies to the student encode only (bts.py:185-215);
+    # we fold it into encode by flipping enc input + output feature grid.
+    state = field.apply(
+        params,
+        imgs,
+        projs,
+        poses,
+        ids_encoder=(0,),
+        ids_render=ids_render,
+        ids_loss=ids_loss,
+        with_loss_feats=True,
+        loss_feature_grid_shift=shift,
+        method=SceneField.encode,
+        rngs={"augment": k_flip},
+    )
+
+    sampler = PatchRaySampler(
+        cfg.z_near, cfg.z_far, ray_batch_size=cfg.ray_batch_size, patch_size=cfg.patch_size
+    )
+
+    imgs_loss = jnp.take(imgs, ids_loss, axis=1)
+    poses_loss = jnp.take(poses, ids_loss, axis=1)
+    projs_loss = jnp.take(projs, ids_loss, axis=1)
+
+    dino_feats = state.loss_feats  # (B, Vl, Cd, Gh, Gw)
+    if artifact_field is not None:
+        af = jnp.broadcast_to(
+            artifact_field[None, None], (B, dino_feats.shape[1], *artifact_field.shape)
+        )
+        dino_feats = jnp.concatenate([dino_feats, af], axis=2)
+
+    rays, rgb_gt, dino_gt = sampler.sample(
+        k_patch, imgs_loss, poses_loss, projs_loss,
+        frame_ids=ids_loss.astype(imgs.dtype),
+        dino_features=dino_feats, grid_shift=shift,
+    )
+
+    if artifact_field is not None:
+        Cd = artifact_field.shape[0]
+        dino_artifacts = dino_gt[..., dino_gt.shape[-1] - Cd:]
+        dino_gt = dino_gt[..., : dino_gt.shape[-1] - Cd]
+    else:
+        dino_artifacts = None
+
+    def field_fn(xyz, only_density=False):
+        return field.apply(params, state, xyz, only_density=only_density)
+
+    out = render_rays(
+        field_fn, rays[..., :8], k_render, rcfg,
+        want_weights=True, want_alphas=True, want_rgb_samps=True, training=training,
+    )
+
+    # reconstruct to patch shape (ray_sampler.py:282-377)
+    P = cfg.patch_size
+    PC = sampler.patch_count
+    c = out["coarse"]
+    Vr = c["rgb"].shape[-1] // 3
+    K = c["weights"].shape[-1]
+    coarse = {
+        "rgb": sampler.reconstruct(c["rgb"]).reshape(B, PC, P, P, Vr, 3),
+        "depth": sampler.reconstruct(c["depth"]),
+        "invalid": sampler.reconstruct(c["invalid"]).reshape(B, PC, P, P, K, Vr),
+        "weights": sampler.reconstruct(c["weights"]),
+        "dino_features": sampler.reconstruct(c["dino_features"]),
+    }
+
+    # expand 64 -> 768 + downsample prediction to the patch grid
+    # (trainer.py:282-296; "patch" mode during training). The per-pixel
+    # 768-d map stays under "dino_features" (used by the edge-aware
+    # smoothness reg); the pooled prediction under
+    # "dino_features_downsampled" feeds the cosine loss.
+    dino_768 = field.apply(params, coarse["dino_features"], method=SceneField.expand_dim)
+    coarse["dino_features"] = dino_768
+    down = field.apply(
+        params, dino_768.reshape(B, PC, P, P, 1, -1), "patch", method=SceneField.downsample
+    )
+    if down is not None:
+        pooled = down.reshape(B, PC, 1, 1, -1)
+    else:
+        pooled = dino_768
+    if dino_artifacts is not None:
+        pooled = pooled + dino_artifacts.reshape(B, PC, 1, 1, -1)
+    coarse["dino_features_downsampled"] = pooled
+    dgt = dino_gt.reshape(B, PC, 1, 1, -1)
+
+    data = {
+        "rgb_gt": sampler.reconstruct(rgb_gt),
+        "dino_gt": dgt,
+        "coarse": coarse,
+    }
+    losses = reconstruction_loss(data, lcfg)
+    return losses["rec_loss"], losses
+
+
+def make_train_step(field, cfg: TrainConfig, rcfg: RenderConfig, lcfg: ReconstructionLossConfig, tx):
+    """Build the jittable (state, batch, key) -> (state, metrics) step."""
+
+    def loss_fn(params, artifact_field, batch, key):
+        return stage1_forward(
+            field, params, batch, key, cfg, rcfg, lcfg, artifact_field, training=True
+        )
+
+    def step(state: TrainState, batch, key):
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (_, losses), (gparams, gart) = grad_fn(
+            state.params, state.artifact_field, batch, key
+        )
+        updates, new_opt = tx.update(gparams, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_art = state.artifact_field
+        new_art_opt = state.artifact_opt_state
+        if state.artifact_field is not None:
+            art_updates, new_art_opt = _artifact_tx(cfg).update(
+                gart, state.artifact_opt_state, state.artifact_field
+            )
+            new_art = optax.apply_updates(state.artifact_field, art_updates)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                artifact_field=new_art,
+                artifact_opt_state=new_art_opt,
+            ),
+            losses,
+        )
+
+    return step
+
+
+def _artifact_tx(cfg: TrainConfig):
+    return optax.adam(cfg.lr)
+
+
+def init_train_state(field, params, cfg: TrainConfig, artifact_shape: Optional[Tuple[int, int, int]] = None, key=None):
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    artifact = None
+    art_opt = None
+    if cfg.compensate_artifacts and artifact_shape is not None:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        artifact = 0.001 * jax.random.normal(key, artifact_shape)
+        art_opt = _artifact_tx(cfg).init(artifact)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        artifact_field=artifact,
+        artifact_opt_state=art_opt,
+    )
+    return state, tx

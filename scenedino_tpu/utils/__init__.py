@@ -1,0 +1,1 @@
+from scenedino_tpu.utils.jax_setup import enable_compilation_cache  # noqa: F401

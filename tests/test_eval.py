@@ -1,0 +1,136 @@
+"""Eval tests: depth metrics, seg assignment/miou, SSCBench machinery."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenedino_tpu.eval import metrics as M
+from scenedino_tpu.eval import sscbench as S
+
+
+def test_depth_metrics_perfect():
+    gt = jnp.linspace(3, 80, 100)
+    out = M.depth_metrics(gt, gt, scaling=None)
+    assert float(out["abs_rel"]) < 1e-6
+    assert float(out["a1"]) == 1.0
+    assert float(out["rmse"]) < 1e-3
+
+
+def test_depth_metrics_median_scaling():
+    gt = jnp.linspace(3, 80, 100)
+    pred = gt / 2.0  # scale off by 2 -> fixed by median scaling
+    out = M.depth_metrics(pred, gt, scaling="median")
+    assert float(out["abs_rel"]) < 1e-5
+
+
+def test_confusion_and_scores_identity():
+    target = jnp.array([0, 1, 2, 2, 1, 0])
+    pred = target
+    conf = M.seg_confusion_matrix(target, pred, 3)
+    scores = M.seg_scores(np.asarray(conf), weights=np.ones(3))
+    assert scores["miou"] == 1.0 and scores["acc"] == 1.0
+
+
+def test_confusion_ignore_index():
+    target = jnp.array([0, -1, 1])
+    pred = jnp.array([0, 0, 1])
+    conf = np.asarray(M.seg_confusion_matrix(target, pred, 2))
+    assert conf.sum() == 2  # ignored pixel dropped
+
+
+def test_pseudo_assignment_recovers_permutation():
+    # pseudo labels are a permutation of gt labels
+    rng = np.random.RandomState(0)
+    perm = np.array([2, 0, 3, 1])
+    conf = np.zeros((4, 4))
+    for gt_c in range(4):
+        conf[gt_c, np.where(perm == gt_c)[0][0]] = 100 + rng.randint(50)
+    assignment = M.pseudo_label_assignment(conf)
+    assert np.array_equal(assignment, perm)
+    folded = M.apply_assignment(conf, assignment)
+    scores = M.seg_scores(folded, weights=np.ones(4))
+    assert scores["miou"] == 1.0
+
+
+def test_evaluate_confusion_oversegmentation():
+    # 2 gt classes, 4 pseudo clusters (2 per class)
+    conf = np.array([[50, 40, 0, 0], [0, 0, 30, 20]])
+    out = M.evaluate_confusion(conf, weights=np.ones(2))
+    assert out["miou"] == 1.0  # all pseudo mass maps to the right gt
+
+
+def test_sscbench_point_grid_shapes():
+    pts, fov = S.generate_point_grid()
+    assert pts.shape == (256 * 256 * 32, 3)
+    assert fov.shape == (256 * 256 * 32,)
+    frac = fov.mean()
+    # 104-degree HFOV camera over a forward 51.2 m wedge: most voxels visible
+    assert 0.3 < frac < 0.95, frac
+
+
+def test_remove_invisible_carves_interior():
+    vol = np.zeros((8, 8, 8), bool)
+    vol[2:6, 2:6, 2:6] = True  # solid 4^3 block
+    out = np.asarray(S.remove_invisible(jnp.asarray(vol)))
+    assert not out[3, 3, 3]  # interior voxel removed
+    assert out[2, 3, 3]  # surface voxel kept
+    assert out.sum() < vol.sum()
+
+
+def test_identify_additional_invalids():
+    target = np.zeros((256, 256, 32), int)
+    # a column with first occupancy at z=3: z<3 empties are NOT invalid
+    # (cumsum>0 after), z in [0..2] are invalid shadow
+    target[0, 0, 3] = 5
+    inv = S.identify_additional_invalids(target)
+    assert inv[0, 0, 0] and inv[0, 0, 2]
+    assert not inv[0, 0, 3]  # occupied voxel isn't invalid
+    assert not inv[0, 0, 4]  # after first occupancy: valid
+    # column with no occupancy at all: invalid up to height cutoff z<7
+    assert inv[1, 1, 0] and inv[1, 1, 6]
+    assert not inv[1, 1, 7]
+
+
+def test_grow_sigmas_dilates():
+    s = jnp.zeros((8, 8, 8)).at[4, 4, 4].set(1.0)
+    g = np.asarray(S.grow_sigmas(s))
+    assert g[3, 4, 4] == 1.0 and g[5, 5, 5] == 1.0
+    assert g[0, 0, 0] == 0.0
+
+
+def test_grid_predictor_and_accumulator_perfect_prediction():
+    """Synthetic field == GT -> 100% IoU through the full accumulator."""
+    pts, fov = S.generate_point_grid()
+    fov3 = fov.reshape(256, 256, 32)
+
+    # synthetic GT in raw sscbench labels: a ONE-voxel-thick 'road' (7)
+    # sheet at height index 3 (thick slabs would legitimately lose their
+    # interior to the evaluator's visibility carving)
+    voxel_gt = np.zeros((256, 256, 32), np.uint8)
+    voxel_gt[:, :, 3] = 7
+    pts_j = jnp.asarray(pts)
+
+    lo = S.VOX_ORIGIN[2] + 3 * S.VOXEL_SIZE
+    hi = S.VOX_ORIGIN[2] + 4 * S.VOXEL_SIZE
+
+    def query_fn(block):
+        # a query fn that "knows" the scene: recover the velo height of each
+        # cam-frame point and emit density only inside the sheet
+        velo = (S.CAM2VELO[:3, :3] @ block[0].T).T + S.CAM2VELO[:3, 3]
+        sigma = jnp.where((velo[:, 2] >= lo) & (velo[:, 2] < hi), 100.0, 0.0)
+        seg = jnp.zeros((block.shape[1], 19)).at[:, 0].set(1.0)  # road
+        return sigma[None], seg[None]
+
+    # grow (3^3 max-pool) dilates every prediction by one voxel; disable it
+    # for an exact-IoU check of the rest of the pipeline
+    predict = S.make_grid_predictor(query_fn, chunk_points=128 * 128 * 32, grow=False)
+    sigmas, segs = predict(pts_j)
+    sigmas = np.asarray(sigmas)
+    segs = np.asarray(segs)
+
+    acc = S.SSCAccumulator()
+    acc.add_frame(sigmas, segs, voxel_gt, fov3)
+    out = acc.summarize()
+    for size in S.SIZES:
+        assert out[size]["occ_iou"] > 0.95, (size, out[size]["occ_iou"])
+        # road is class index 7 -> per-class iou index 6
+        assert out[size]["direct_per_class_iou"][6] > 0.95
