@@ -24,10 +24,50 @@ from scenedino_tpu.utils.jax_setup import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main():
-    from __graft_entry__ import entry
+def build_fast_fn():
+    """Flagship inference on the folded-head fast path (exact math,
+    bf16 grids; see scenedino_tpu/ops/fast_field.py)."""
+    import jax.numpy as jnp
 
-    fn, args = entry()
+    from __graft_entry__ import _flagship
+    from scenedino_tpu.core.ray_sampler import ImageRaySampler
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.ops.fast_field import build_fast_state, fast_query
+    from scenedino_tpu.renderer.nerf import RenderConfig, render_rays_chunked
+
+    H, W = 192, 640
+    field = _flagship((H, W))
+    rcfg = RenderConfig(n_coarse=32)
+    sampler = ImageRaySampler(3.0, 80.0, height=H, width=W)
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W), jnp.float32) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[0.7, 0.0, 0.0], [0.0, 2.3, 0.0], [0.0, 0.0, 1.0]]), (1, 1, 3, 3)
+    )
+    params = field.init(
+        {"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup
+    )
+    cfg = field.cfg
+
+    from scenedino_tpu.ops.fast_field import render_encode_view
+
+    def fn(params, imgs, projs, poses):
+        state = field.apply(
+            params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode
+        )
+        fs = build_fast_state(params, state, cfg)
+        # demo/eval renders the encode camera's own view: zero-gather path
+        depth, dino, rgb = render_encode_view(
+            fs, cfg, H, W, jax.random.PRNGKey(0), n_coarse=rcfg.n_coarse
+        )
+        return depth, dino
+
+    return fn, (params, imgs, projs, poses)
+
+
+def main():
+    fn, args = build_fast_fn()
     jfn = jax.jit(fn)
 
     # warmup / compile

@@ -1,0 +1,133 @@
+"""SSCBench-KITTI-360 voxel evaluation entry point.
+
+Behavioral parity target: `sscbench/evaluate_model_sscbench.py` CLI —
+encode the front image per frame, query the 256x256x32 voxel grid through
+the field + downstream head, accumulate occupancy + per-class confusion
+over ranges 12.8/25.6/51.2 m, report direct + Hungarian mIoU tables.
+
+Usage:
+  python -m scenedino_tpu.cli.evaluate_sscbench \
+      --data <kitti360 root> --voxel-gt <sscbench voxel gt dir> \
+      --ckpt <orbax dir or torch .pt> \
+      [--prediction-mode stego_kmeans] [--max-frames N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser("SSCBench evaluation")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--voxel-gt", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--variant", default="dino", choices=["dino", "dinov2"])
+    ap.add_argument(
+        "--prediction-mode", default="stego_kmeans",
+        choices=["stego_kmeans", "direct_linear", "direct_kmeans", "stego_linear"],
+    )
+    ap.add_argument("--max-frames", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scenedino_tpu.cli.demo import build_model
+    from scenedino_tpu.datasets.sscbench import SSCBenchDataset
+    from scenedino_tpu.eval import sscbench as S
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.utils import enable_compilation_cache
+    from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, load_checkpoint
+
+    enable_compilation_cache()
+    logging.basicConfig(level=logging.INFO)
+
+    dataset = SSCBenchDataset(data_path=args.data, voxel_gt_path=args.voxel_gt)
+    field = build_model(variant=args.variant)
+
+    key = jax.random.PRNGKey(0)
+    H, W = 192, 640
+    dummy = (
+        jnp.zeros((1, 1, 3, H, W)),
+        jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
+    )
+    variables = field.init({"params": key, "augment": key}, *dummy, method=SceneField.warmup)
+    if args.ckpt.endswith(".pt"):
+        import torch
+
+        sd = torch.load(args.ckpt, map_location="cpu")["model"]
+        conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
+        variables = {"params": conv["params"], **conv.get("state", {})}
+    else:
+        variables = load_checkpoint(args.ckpt, target=variables)
+
+    pts, fov_mask = S.generate_point_grid()
+    fov3 = fov_mask.reshape(256, 256, 32)
+    pts_j = jnp.asarray(pts)
+
+    @jax.jit
+    def encode(variables, imgs, projs, poses):
+        poses = jnp.linalg.inv(poses[:, :1]) @ poses
+        return field.apply(
+            variables, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
+            method=SceneField.encode,
+        )
+
+    state_holder = {}
+
+    def query_fn(block):
+        # net.forward(pts, predict_segmentation=True) (bts.py:553-593)
+        dino_full, sigma, seg = field.apply(
+            state_holder["vars"], state_holder["state"], block,
+            mode=args.prediction_mode, method=SceneField.query_segmentation,
+        )
+        if seg is None:
+            raise RuntimeError("checkpoint has no downstream head")
+        seg19 = jax.nn.one_hot(seg, 19)
+        return sigma, seg19
+
+    predict = S.make_grid_predictor(query_fn)
+    acc = S.SSCAccumulator()
+
+    n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
+    t_total = 0.0
+    for i in range(n):
+        sample = dataset[i]
+        imgs = jnp.asarray(sample["imgs"])[None]
+        projs = jnp.asarray(sample["projs"])[None]
+        poses = jnp.asarray(sample["poses"])[None]
+        t0 = time.perf_counter()
+        state_holder["vars"] = variables
+        state_holder["state"] = encode(variables, imgs, projs, poses)
+        sigmas, segs = predict(pts_j)
+        sigmas = np.asarray(sigmas)
+        segs = np.asarray(segs)
+        t_total += time.perf_counter() - t0
+        acc.add_frame(sigmas, segs, sample["voxel_gt"], fov3)
+        if (i + 1) % 50 == 0:
+            part = acc.summarize()[51.2]
+            logging.info(
+                "frame %d/%d occIoU %.3f mIoU %.3f (%.2f s/frame)",
+                i + 1, n, part["occ_iou"], part["hungarian_miou"], t_total / (i + 1),
+            )
+
+    results = acc.summarize()
+    table = {
+        str(size): {
+            "occ_iou": r["occ_iou"],
+            "direct_miou": r["direct_miou"],
+            "hungarian_miou": r["hungarian_miou"],
+        }
+        for size, r in results.items()
+    }
+    table["sec_per_frame"] = t_total / max(n, 1)
+    print(json.dumps(table, indent=2))
+
+
+if __name__ == "__main__":
+    main()

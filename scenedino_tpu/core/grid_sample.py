@@ -24,16 +24,18 @@ def _ndc_to_pixel(coord, size):
     return (coord + 1.0) * 0.5 * size - 0.5
 
 
-def grid_sample_2d(feat, xy, mode="bilinear"):
-    """Sample a feature map at NDC coordinates.
+def grid_sample_2d_hwc(feat, xy, mode="bilinear"):
+    """Sample a channels-LAST feature map at NDC coordinates.
 
-    feat: (C, H, W) feature map.
-    xy: (P, 2) NDC coords (x, y) in [-1, 1] (values outside clamp to border).
-    mode: "bilinear" | "nearest".
+    feat: (H, W, C); xy: (P, 2) NDC (x, y) in [-1, 1].
     Returns (P, C).
+
+    TPU note: gathers pull contiguous C-length rows of the (H*W, C) map —
+    one DMA burst per corner per point. This is the fast layout; the CHW
+    wrapper below exists for torch-layout callers and pays one transpose.
     """
-    C, H, W = feat.shape
-    flat = feat.reshape(C, H * W)
+    H, W, C = feat.shape
+    flat = feat.reshape(H * W, C)
     x = _ndc_to_pixel(xy[..., 0], W)
     y = _ndc_to_pixel(xy[..., 1], H)
 
@@ -41,27 +43,30 @@ def grid_sample_2d(feat, xy, mode="bilinear"):
         # torch rounds half away from zero via floor(x+0.5) after border clamp
         xi = jnp.clip(jnp.floor(x + 0.5).astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(jnp.floor(y + 0.5).astype(jnp.int32), 0, H - 1)
-        idx = yi * W + xi
-        return jnp.take(flat, idx, axis=1).T
+        return jnp.take(flat, yi * W + xi, axis=0)
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
 
-    v00 = jnp.take(flat, y0i * W + x0i, axis=1)
-    v01 = jnp.take(flat, y0i * W + x1i, axis=1)
-    v10 = jnp.take(flat, y1i * W + x0i, axis=1)
-    v11 = jnp.take(flat, y1i * W + x1i, axis=1)
+    v00 = jnp.take(flat, y0i * W + x0i, axis=0)  # (P, C)
+    v01 = jnp.take(flat, y0i * W + x1i, axis=0)
+    v10 = jnp.take(flat, y1i * W + x0i, axis=0)
+    v11 = jnp.take(flat, y1i * W + x1i, axis=0)
 
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
-    out = top * (1.0 - wy) + bot * wy  # (C, P)
-    return out.T
+    return top * (1.0 - wy) + bot * wy
+
+
+def grid_sample_2d(feat, xy, mode="bilinear"):
+    """torch-layout wrapper: feat (C, H, W), xy (P, 2) -> (P, C)."""
+    return grid_sample_2d_hwc(feat.transpose(1, 2, 0), xy, mode)
 
 
 def grid_sample_views(feats, xy, mode="bilinear"):
@@ -76,4 +81,18 @@ def grid_sample_views(feats, xy, mode="bilinear"):
     flat_feats = feats.reshape(B * V, C, H, W)
     flat_xy = xy.reshape(B * V, -1, 2)
     out = jax.vmap(lambda f, p: grid_sample_2d(f, p, mode))(flat_feats, flat_xy)
+    return out.reshape(B, V, -1, C)
+
+
+def grid_sample_views_hwc(feats, xy, mode="bilinear"):
+    """Channels-last batched multi-view sampling (the fast layout).
+
+    feats: (B, V, H, W, C); xy: (B, V, P, 2) NDC. Returns (B, V, P, C).
+    """
+    import jax
+
+    B, V, H, W, C = feats.shape
+    flat_feats = feats.reshape(B * V, H, W, C)
+    flat_xy = xy.reshape(B * V, -1, 2)
+    out = jax.vmap(lambda f, p: grid_sample_2d_hwc(f, p, mode))(flat_feats, flat_xy)
     return out.reshape(B, V, -1, C)

@@ -1,0 +1,247 @@
+"""Fast inference path for the shipped field head (exact, TPU-first).
+
+The shipped SceneDINO head is lin_out(relu(lin_in([feat, code])))
+(ResnetFC n_blocks=0, configs/model/dino_downsampler.yaml). Bilinear
+sampling is linear, so the first layer's feature block commutes with the
+pixel-aligned lookup:
+
+    lin_in([sample(F, xy), code]) = sample(F @ W_feat, xy) + code @ W_code + b
+
+Folding `W_feat` into the feature grid ONCE per image (a 1x1 conv over
+H x W pixels) replaces a per-point 256->128 matmul over B*rays*samples
+points (32+ samples per pixel) with a per-pixel one — ~7x fewer FLOPs per
+query and half the gather bytes (128-d instead of 256-d rows), bit-exact
+up to fp reassociation.
+
+The folded grid + small weights are stored bf16 (gather bandwidth), the
+accumulating matmuls run fp32-accumulated on the MXU.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from scenedino_tpu.core import cameras, encoding, grid_sample
+from scenedino_tpu.models.field import FieldConfig, SceneState
+
+
+class FastFieldState(NamedTuple):
+    """Prefolded scene state for fast queries (channels-LAST grids: gathers
+    pull contiguous feature rows — the TPU-fast layout)."""
+
+    folded_grid: jnp.ndarray  # (B, V, H, W, d_hidden) = feat_grid @ W_feat
+    w_code: jnp.ndarray  # (code_dims, d_hidden)
+    b1: jnp.ndarray  # (d_hidden,)
+    w2: jnp.ndarray  # (d_hidden, d_out)
+    b2: jnp.ndarray  # (d_out,)
+    feat_ks: jnp.ndarray
+    feat_w2c: jnp.ndarray
+    color_imgs: jnp.ndarray
+    color_ks: jnp.ndarray
+    color_w2c: jnp.ndarray
+
+
+def build_fast_state(
+    params,
+    state: SceneState,
+    cfg: FieldConfig,
+    head_name: str = "heads_normal_head",
+    compute_dtype=jnp.bfloat16,
+) -> FastFieldState:
+    """Fold the head's first layer into the feature grid.
+
+    params: SceneField variables ({"params": {...}}). Only valid for the
+    ResnetFC n_blocks=0 head (the shipped config); learn_empty must be off.
+    """
+    if cfg.learn_empty:
+        raise ValueError("fast path requires learn_empty=False (shipped config)")
+    head = params["params"][head_name]
+    k1 = jnp.asarray(head["lin_in"]["kernel"])  # (256+code, d_hidden)
+    b1 = jnp.asarray(head["lin_in"]["bias"])
+    k2 = jnp.asarray(head["lin_out"]["kernel"])  # (d_hidden, d_out)
+    b2 = jnp.asarray(head["lin_out"]["bias"])
+    C = state.feat_grid.shape[2]
+    w_feat = k1[:C]  # (C, d_hidden)
+    w_code = k1[C:]
+
+    folded = jnp.einsum(
+        "bvchw,cd->bvhwd", state.feat_grid.astype(jnp.float32), w_feat,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return FastFieldState(
+        folded_grid=folded.astype(compute_dtype),
+        w_code=w_code.astype(compute_dtype),
+        b1=b1.astype(jnp.float32),
+        w2=k2.astype(compute_dtype),
+        b2=b2.astype(jnp.float32),
+        feat_ks=state.feat_ks,
+        feat_w2c=state.feat_w2c,
+        color_imgs=state.color_imgs.transpose(0, 1, 3, 4, 2).astype(compute_dtype),
+        color_ks=state.color_ks,
+        color_w2c=state.color_w2c,
+    )
+
+
+def render_encode_view(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    height: int,
+    width: int,
+    key,
+    n_coarse: int = 32,
+    lindisp: bool = True,
+    hard_alpha_cap: bool = True,
+    chunk_rows: Optional[int] = None,
+):
+    """Render the encode camera's own view with ZERO feature gathers.
+
+    Every sample along pixel p's ray projects back to p in the encode
+    camera, and with align_corners=False NDC pixel centers land exactly on
+    integer pixel coordinates — bilinear lookup degenerates to reading the
+    map at p. The same holds for the render-view colors when
+    ids_render == ids_encoder (the demo / 2D-eval configuration,
+    demo_script.py + unified_evaluator.py). The whole render becomes
+    map-reads + the tiny code-MLP + compositing: MXU/VPU work only.
+
+    Returns (depth (H, W), dino (H, W, d_out-1), rgb (H, W, 3)).
+    """
+    from scenedino_tpu.core import compositing as C
+    from scenedino_tpu.core import rays as rays_mod
+    from scenedino_tpu.core import sampling as S
+
+    B, V = fs.folded_grid.shape[:2]
+    assert B == 1 and V == 1, "encode-view fast render expects 1 view"
+    K = fs.feat_ks[0, 0]
+    pose_c2w = jnp.linalg.inv(fs.feat_w2c[0, :1])
+    r, xy_img = rays_mod.rays_from_k(
+        pose_c2w, K[None], width, height, cfg.z_near, cfg.z_far
+    )
+    flat = r.reshape(-1, 8)
+    # mirror render_rays' key split so both paths draw identical strata
+    k_coarse = jax.random.split(key, 4)[0]
+    z = S.sample_coarse(k_coarse, flat, n_coarse, lindisp)  # (HW, K)
+
+    # camera-space depth of each sample: rays are unit-norm world dirs; the
+    # z-coordinate in camera space is t * dir_cam_z with dir from unproj.
+    dirs_cam, _ = rays_mod.unproj_map(width, height, jnp.stack([K[0, 0], K[1, 1]])[None],
+                                      c=jnp.stack([K[0, 2], K[1, 2]])[None])
+    dir_z = dirs_cam[0, ..., 2].reshape(-1, 1)  # (HW, 1) z component of unit dir
+    z_cam = z * dir_z
+    dist = z  # ray distance = t for unit dirs
+
+    from scenedino_tpu.core import encoding as E
+
+    xy = xy_img.reshape(-1, 2)  # exact NDC pixel centers
+
+    # The positional code interleaves (x, y, z) channels; x/y are constant
+    # per pixel across the K samples. Split W_code into per-pixel (x, y)
+    # channels — folded once into a per-pixel bias — and per-sample z
+    # channels (13 of 39): 3x less PE + code-matmul work.
+    import numpy as np
+
+    D_code = fs.w_code.shape[0]
+    z_mask = (np.arange(D_code) % 3) == 2  # static (host) mask
+    w_z = fs.w_code[np.where(z_mask)[0]]  # (13, d_hidden)
+    w_xy = fs.w_code[np.where(~z_mask)[0]]  # (26, d_hidden)
+
+    # per-pixel xy code: PE of (x, y, 0) with z channels dropped
+    coords_xy = jnp.concatenate([xy, jnp.zeros_like(xy[:, :1])], -1)
+    code_full_xy = E.positional_encoding(coords_xy, cfg.num_freqs, cfg.freq_factor, cfg.include_input)
+    code_xy = code_full_xy[:, np.where(~z_mask)[0]]  # (HW, 26)
+    pixel_bias = jnp.einsum(
+        "pc,cd->pd", code_xy.astype(fs.w_code.dtype), w_xy, preferred_element_type=jnp.float32
+    )[:, None]  # (HW, 1, d_hidden)
+
+    # per-sample z code: [z_n, sin(f_k z_n), cos(f_k z_n), ...]
+    depth_like = z_cam if cfg.code_mode == "z" else dist
+    zn = E.normalize_z(depth_like, cfg.z_near, cfg.z_far, inv_z=cfg.inv_z)  # (HW, K)
+    code_z = E.positional_encoding(zn[..., None], cfg.num_freqs, cfg.freq_factor, cfg.include_input)
+
+    g2d = fs.folded_grid[0, 0]  # (Hg, Wg, D) — 2x the image for patch-8 DPT
+    Hg, Wg = g2d.shape[:2]
+    if (Hg, Wg) == (2 * height, 2 * width):
+        # render pixel centers fall exactly midway between grid pixels
+        # (px = 2i + 0.5): the bilinear lookup degenerates to a 2x2 mean —
+        # one streaming reshape-mean instead of 4 gathers per point.
+        g2d = g2d.astype(jnp.float32).reshape(height, 2, width, 2, -1).mean((1, 3)).astype(g2d.dtype)
+    elif (Hg, Wg) != (height, width):
+        # general ratio: true NDC gather at pixel centers (slow path)
+        from scenedino_tpu.core.rays import unproj_map as _um
+
+        xs = jnp.linspace(-1 + 1 / width, 1 - 1 / width, width)
+        ys = jnp.linspace(-1 + 1 / height, 1 - 1 / height, height)
+        gx2, gy2 = jnp.meshgrid(xs, ys, indexing="xy")
+        from scenedino_tpu.core.grid_sample import grid_sample_2d_hwc
+
+        g2d = grid_sample_2d_hwc(g2d, jnp.stack([gx2, gy2], -1).reshape(-1, 2)).reshape(
+            height, width, -1
+        )
+    g = g2d.reshape(-1, 1, fs.folded_grid.shape[-1])  # (HW, 1, D)
+    h = (
+        g.astype(jnp.float32)
+        + pixel_bias
+        + jnp.einsum("pkc,cd->pkd", code_z.astype(fs.w_code.dtype), w_z,
+                     preferred_element_type=jnp.float32)
+        + fs.b1
+    )
+    h = jax.nn.relu(h)
+    out = (
+        jnp.einsum("pkd,de->pke", h.astype(fs.w2.dtype), fs.w2,
+                   preferred_element_type=jnp.float32)
+        + fs.b2
+    )
+    sigma = jax.nn.softplus(out[..., 0])  # (HW, K)
+    comp = C.composite_rays(sigma, z, hard_alpha_cap)
+    depth = comp.depth.reshape(height, width)
+    dino = C.weighted_reduce(comp.weights, out[..., 1:]).reshape(height, width, -1)
+    rgb_map = fs.color_imgs[0, 0].astype(jnp.float32)  # (H, W, 3)
+    rgb = rgb_map * jnp.sum(comp.weights, -1).reshape(height, width)[..., None]
+    return depth, dino, rgb
+
+
+def fast_query(fs: FastFieldState, cfg: FieldConfig, xyz: jnp.ndarray, only_density: bool = False):
+    """Drop-in replacement for SceneField.__call__ on the fast state.
+
+    xyz: (B, P, 3) -> (rgb, invalid, sigma, dino) with the same shapes and
+    semantics as the full field (bts.py:476-595, single encode view).
+    """
+    B, P, _ = xyz.shape
+    xy, z, dist, invalid_f = cameras.project_points(xyz, fs.feat_w2c, fs.feat_ks)
+    coords = encoding.encode_coords(
+        xy.astype(jnp.float32), z.astype(jnp.float32), dist.astype(jnp.float32),
+        cfg.z_near, cfg.z_far, mode=cfg.code_mode, inv_z=cfg.inv_z,
+    )
+    code = encoding.positional_encoding(coords, cfg.num_freqs, cfg.freq_factor, cfg.include_input)
+
+    sampled = grid_sample.grid_sample_views_hwc(fs.folded_grid, xy)  # (B, V, P, d_hidden)
+    h = (
+        sampled.astype(jnp.float32)
+        + jnp.einsum(
+            "bvpc,cd->bvpd", code.astype(fs.w_code.dtype), fs.w_code,
+            preferred_element_type=jnp.float32,
+        )
+        + fs.b1
+    )
+    h = jax.nn.relu(h)
+    out = (
+        jnp.einsum("bvpd,de->bvpe", h.astype(fs.w2.dtype), fs.w2, preferred_element_type=jnp.float32)
+        + fs.b2
+    )
+    out = out.transpose(0, 2, 1, 3).mean(axis=2)  # collapse (single) view axis
+
+    sigma = jax.nn.softplus(out[..., 0])
+    dino = out[..., 1:] if cfg.predict_dino else None
+    inv_feat = invalid_f[..., 0].transpose(0, 2, 1)  # (B, P, V)
+
+    if only_density:
+        return None, inv_feat.astype(jnp.float32), sigma, dino
+
+    xy_c, z_c, _, invalid_c = cameras.project_points(xyz, fs.color_w2c, fs.color_ks)
+    colors = grid_sample.grid_sample_views_hwc(fs.color_imgs, xy_c, mode=cfg.color_interpolation)
+    Vr = colors.shape[1]
+    rgb = colors.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B, P, Vr * 3)
+    inv_c = invalid_c[..., 0].transpose(0, 2, 1)
+    invalid = (inv_c | jnp.all(inv_feat.astype(bool), axis=-1, keepdims=True)).astype(rgb.dtype)
+    return rgb, invalid, sigma, dino

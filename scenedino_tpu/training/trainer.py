@@ -163,7 +163,11 @@ def stage1_forward(
         cfg.z_near, cfg.z_far, ray_batch_size=cfg.ray_batch_size, patch_size=cfg.patch_size
     )
 
-    imgs_loss = jnp.take(imgs, ids_loss, axis=1)
+    # rgb_gt must live in the render-color space [0, 1]: the reference's RGB
+    # image processor maps inputs to [0, 1] before sampling (trainer.py:170,
+    # image_processor.py:34-41) and rendered colors come from state.color_imgs
+    # which encode() already de-normalized.
+    imgs_loss = jnp.take(imgs, ids_loss, axis=1) * 0.5 + 0.5
     poses_loss = jnp.take(poses, ids_loss, axis=1)
     projs_loss = jnp.take(projs, ids_loss, axis=1)
 

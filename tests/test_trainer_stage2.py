@@ -16,7 +16,7 @@ from scenedino_tpu.training.downstream import (
     make_downstream_train_step,
 )
 
-H, W = 16, 32
+H, W = 8, 16
 DINO_DIM = 12
 
 
@@ -25,12 +25,12 @@ def build():
     field = SceneField(encoder=enc, cfg=FieldConfig(dino_dims=6))
     head_cfg = SemanticHeadConfig(
         n_classes=5, gt_classes=4, input_dim=DINO_DIM, code_dim=8,
-        buffer_size=8, patch_sample_size=16, knn_neighbors=3, mode="3d",
+        buffer_size=8, patch_sample_size=8, knn_neighbors=3, mode="3d",
     )
     head = SemanticHead(cfg=head_cfg)
     cfg = DownstreamTrainConfig(
         render_height=H, render_width=W, render_chunk=H * W,
-        n_crops=3, n_samples=16, oversampling=2, n_views=4,
+        n_crops=2, n_samples=8, oversampling=2, n_views=4,
     )
     return field, head, head_cfg, cfg
 
@@ -62,7 +62,7 @@ def init_head_vars(head, head_cfg):
     k = jax.random.PRNGKey(2)
     dino = jnp.zeros((1, 1, H, W, 1, DINO_DIM))
     buffers = RingBufferState.create(head_cfg.buffer_size, head_cfg.patch_sample_size, DINO_DIM)
-    crop = jnp.zeros((3, 16, DINO_DIM))
+    crop = jnp.zeros((2, 8, DINO_DIM))
     variables = head.init(
         {"params": k, "dropout": k},
         dino, buffers, k, crop_features=crop, seg_target=jnp.zeros((1, H, W), jnp.int32),
