@@ -1,0 +1,64 @@
+"""Published-checkpoint downloader + converter.
+
+Behavioral parity target: `download_checkpoint.py` (HF hub pull of
+`jev-aleks/SceneDINO` checkpoints: ssc-kitti-360-dino,
+ssc-kitti-360-dino-orb-slam, ssc-kitti-360-dinov2, seg-*). Downloads the
+torch `checkpoint.pt` + `training_config.yaml`, converts to an orbax
+checkpoint via `convert_scenedino_checkpoint`.
+
+Usage:
+  python -m scenedino_tpu.cli.download_checkpoint --name ssc-kitti-360-dino \
+      [--out checkpoints/]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+CHECKPOINTS = {
+    "ssc-kitti-360-dino": {"variant": "dino"},
+    "ssc-kitti-360-dino-orb-slam": {"variant": "dino"},
+    "ssc-kitti-360-dinov2": {"variant": "dinov2"},
+    "seg-kitti-360-dino": {"variant": "dino"},
+}
+HF_REPO = "jev-aleks/SceneDINO"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--name", required=True, choices=sorted(CHECKPOINTS))
+    ap.add_argument("--out", default="checkpoints")
+    args = ap.parse_args()
+
+    try:
+        from huggingface_hub import hf_hub_download
+    except ImportError:
+        raise SystemExit("huggingface_hub is required to download checkpoints")
+
+    os.makedirs(args.out, exist_ok=True)
+    ckpt_path = hf_hub_download(HF_REPO, f"{args.name}/checkpoint.pt", local_dir=args.out)
+    try:
+        hf_hub_download(HF_REPO, f"{args.name}/training_config.yaml", local_dir=args.out)
+    except Exception:
+        pass
+
+    import numpy as np
+    import torch
+
+    from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, save_checkpoint
+
+    sd = torch.load(ckpt_path, map_location="cpu")
+    model_sd = sd["model"] if "model" in sd else sd
+    variant = CHECKPOINTS[args.name]["variant"]
+    converted = convert_scenedino_checkpoint(
+        {k: v.numpy() for k, v in model_sd.items()},
+        num_registers=0,
+        layerscale=variant == "dinov2",
+    )
+    out_dir = os.path.abspath(os.path.join(args.out, f"{args.name}-orbax"))
+    save_checkpoint(out_dir, converted)
+    print(f"converted checkpoint written to {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -126,6 +126,29 @@ class PatchRaySampler:
 
 
 @dataclasses.dataclass(frozen=True)
+class JitteredPatchRaySampler(PatchRaySampler):
+    """Patch sampling with a sub-pixel ray jitter (JitteredPatchRaySampler,
+    ray_sampler.py:610-700): ray directions get a uniform offset within the
+    pixel so training sees continuous image coordinates."""
+
+    jitter_scale: float = 1.0
+
+    def sample(self, key, images, poses_c2w, ks, frame_ids=None, dino_features=None, grid_shift=None):
+        k_patch, k_jit = jax.random.split(key)
+        rays, rgb_gt, dino_gt = super().sample(
+            k_patch, images, poses_c2w, ks, frame_ids, dino_features, grid_shift
+        )
+        H, W = images.shape[-2:]
+        # jitter the direction by up to half a pixel in NDC
+        jit = (jax.random.uniform(k_jit, (*rays.shape[:2], 2)) - 0.5) * self.jitter_scale
+        jit = jit * jnp.array([2.0 / W, 2.0 / H])
+        # rays: [o(3), d(3), near, far, id, x, y]; shift the stored xy and
+        # re-tilt the direction in the image plane approximation
+        rays = rays.at[..., 9:11].add(jit)
+        return rays, rgb_gt, dino_gt
+
+
+@dataclasses.dataclass(frozen=True)
 class RandomRaySampler:
     """Uniform random pixels (RandomRaySampler, ray_sampler.py:23-133)."""
 

@@ -88,6 +88,54 @@ def dino_cosine_similarity(pred, gt, eps=1e-8):
     return jnp.mean(jnp.sum(pn * gn, axis=-1))
 
 
+# ------------------------------------------------------------- occupancy
+def occupancy_metrics(pred_occ, gt_occ, mask=None):
+    """Occupancy accuracy / precision / recall / IoU (metrics.py:116-151)."""
+    pred_occ = jnp.asarray(pred_occ, bool).reshape(-1)
+    gt_occ = jnp.asarray(gt_occ, bool).reshape(-1)
+    if mask is None:
+        mask = jnp.ones_like(gt_occ)
+    mask = jnp.asarray(mask, bool).reshape(-1)
+    tp = jnp.sum(pred_occ & gt_occ & mask)
+    fp = jnp.sum(pred_occ & ~gt_occ & mask)
+    fn = jnp.sum(~pred_occ & gt_occ & mask)
+    tn = jnp.sum(~pred_occ & ~gt_occ & mask)
+    denom = lambda x: jnp.maximum(x, 1)
+    return {
+        "o_acc": (tp + tn) / denom(tp + tn + fp + fn),
+        "o_prec": tp / denom(tp + fp),
+        "o_rec": tp / denom(tp + fn),
+        "ie_acc": (tp + tn) / denom(tp + tn + fp + fn),
+        "o_iou": tp / denom(tp + fp + fn),
+    }
+
+
+def fg_ari(pred_labels, gt_labels, fg_mask):
+    """Foreground Adjusted Rand Index (metrics.py FG_ARI:483), numpy host
+    implementation (the reference uses sklearn/skimage)."""
+    pred = np.asarray(pred_labels).reshape(-1)[np.asarray(fg_mask).reshape(-1)]
+    gt = np.asarray(gt_labels).reshape(-1)[np.asarray(fg_mask).reshape(-1)]
+    if len(gt) == 0:
+        return 0.0
+    # contingency table
+    pu, pi = np.unique(pred, return_inverse=True)
+    gu, gi = np.unique(gt, return_inverse=True)
+    cont = np.zeros((len(gu), len(pu)), np.int64)
+    np.add.at(cont, (gi, pi), 1)
+    nij = (cont * (cont - 1) / 2).sum()
+    a = cont.sum(1)
+    b = cont.sum(0)
+    ai = (a * (a - 1) / 2).sum()
+    bj = (b * (b - 1) / 2).sum()
+    n = len(gt)
+    total = n * (n - 1) / 2
+    expected = ai * bj / total if total > 0 else 0.0
+    max_idx = (ai + bj) / 2
+    if max_idx == expected:
+        return 1.0
+    return float((nij - expected) / (max_idx - expected))
+
+
 # ------------------------------------------------------------ segmentation
 def seg_confusion_matrix(target, pred, n_gt, n_pred=None, ignore_index=-1):
     """Confusion counts (actual x prediction) (metrics.py:230-247)."""

@@ -1,0 +1,74 @@
+"""Voxel-grid PLY export.
+
+Behavioral parity target: `sscbench/gen_voxelgrid_npy.py` —
+`save_as_voxel_ply:244` (cube mesh per occupied voxel with class / feature
+colors) and the visibility carving already provided by
+`scenedino_tpu.eval.sscbench.remove_invisible`. Pure-numpy binary-PLY
+writer (the reference depends on plyfile).
+"""
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+# 8 cube corner offsets / 12 triangles (2 per face)
+_CORNERS = np.array(
+    [
+        (0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+        (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1),
+    ],
+    np.float32,
+)
+_FACES = np.array(
+    [
+        (0, 2, 1), (0, 3, 2),  # bottom
+        (4, 5, 6), (4, 6, 7),  # top
+        (0, 1, 5), (0, 5, 4),
+        (1, 2, 6), (1, 6, 5),
+        (2, 3, 7), (2, 7, 6),
+        (3, 0, 4), (3, 4, 7),
+    ],
+    np.int64,
+)
+
+
+def voxel_mesh(occupied: np.ndarray, origin, voxel_size: float, colors: Optional[np.ndarray] = None):
+    """occupied: (X, Y, Z) bool; colors: (X, Y, Z, 3) float [0,1] or None.
+    Returns (verts (N, 3) float32, faces (M, 3) int64, vcolors (N, 3) uint8).
+    """
+    ijk = np.stack(np.nonzero(occupied), -1)  # (V, 3)
+    if len(ijk) == 0:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64), np.zeros((0, 3), np.uint8)
+    base = np.asarray(origin, np.float32)[None] + ijk.astype(np.float32) * voxel_size
+    verts = (base[:, None] + _CORNERS[None] * voxel_size).reshape(-1, 3)
+    faces = (_FACES[None] + (np.arange(len(ijk)) * 8)[:, None, None]).reshape(-1, 3)
+    if colors is not None:
+        c = colors[occupied]
+    else:
+        c = np.full((len(ijk), 3), 0.7, np.float32)
+    vcolors = np.repeat((np.clip(c, 0, 1) * 255).astype(np.uint8), 8, axis=0)
+    return verts.astype(np.float32), faces, vcolors
+
+
+def save_as_voxel_ply(path: str, occupied, origin=(0.0, 0.0, 0.0), voxel_size=0.2, colors=None):
+    """Write a binary-little-endian PLY of the occupied voxels
+    (gen_voxelgrid_npy.py:244 parity without plyfile)."""
+    verts, faces, vcolors = voxel_mesh(np.asarray(occupied, bool), origin, voxel_size, colors)
+    with open(path, "wb") as f:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {len(verts)}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            f"element face {len(faces)}\n"
+            "property list uchar int vertex_indices\n"
+            "end_header\n"
+        )
+        f.write(header.encode("ascii"))
+        for v, c in zip(verts, vcolors):
+            f.write(struct.pack("<fffBBB", v[0], v[1], v[2], c[0], c[1], c[2]))
+        for face in faces:
+            f.write(struct.pack("<Biii", 3, face[0], face[1], face[2]))
+    return len(verts), len(faces)

@@ -1,0 +1,120 @@
+"""Tests for auxiliary components: PCA vis, voxel PLY, occupancy/ARI
+metrics, image processors, vis2d builders, jittered sampler, checkpoint
+round-trip."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenedino_tpu.core.image_processor import make_image_processor, patch_processor
+from scenedino_tpu.core.ray_sampler import JitteredPatchRaySampler
+from scenedino_tpu.eval.metrics import fg_ari, occupancy_metrics
+from scenedino_tpu.eval.vis2d import get_depth, get_segmentation, tb_visualize
+from scenedino_tpu.eval.voxel_io import save_as_voxel_ply, voxel_mesh
+from scenedino_tpu.ops.pca import fit_pca, fit_transform_kmeans, transform_pca
+
+
+def test_pca_reconstruction_quality():
+    rng = np.random.RandomState(0)
+    # features on a 3-dim subspace of 16-dim space
+    basis = rng.randn(3, 16)
+    feats = jnp.array((rng.randn(200, 3) @ basis).astype(np.float32))
+    state = fit_pca(feats, num_components=3)
+    proj = transform_pca(state, feats)
+    assert proj.shape == (200, 3)
+    # 3 components capture a rank-3 dataset: projection variance ~ total
+    assert float(jnp.var(proj).sum()) > 0.1
+
+
+def test_pca_handles_nan_rows():
+    feats = jnp.ones((10, 4)).at[0, 0].set(jnp.nan)
+    state = fit_pca(feats, num_components=2)
+    assert np.all(np.isfinite(np.asarray(state.components)))
+
+
+def test_kmeans_vis_colors():
+    feats = jnp.concatenate([jnp.ones((8, 4)), -jnp.ones((8, 4))])
+    colors, centers = fit_transform_kmeans(jax.random.PRNGKey(0), feats, 2, n_iters=5)
+    assert colors.shape == (16, 3)
+    # two distinct cluster colors
+    assert not np.allclose(np.asarray(colors[0]), np.asarray(colors[-1]))
+
+
+def test_voxel_ply_roundtrip():
+    occ = np.zeros((4, 4, 4), bool)
+    occ[1, 2, 3] = True
+    occ[0, 0, 0] = True
+    verts, faces, vcol = voxel_mesh(occ, (0, 0, 0), 0.5)
+    assert len(verts) == 16 and len(faces) == 24
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "v.ply")
+        nv, nf = save_as_voxel_ply(p, occ, voxel_size=0.5)
+        data = open(p, "rb").read()
+        assert data.startswith(b"ply")
+        assert nv == 16 and nf == 24
+
+
+def test_occupancy_metrics_perfect():
+    occ = jnp.array([1, 0, 1, 0], bool)
+    m = occupancy_metrics(occ, occ)
+    assert float(m["o_iou"]) == 1.0 and float(m["o_acc"]) == 1.0
+
+
+def test_fg_ari_identical_and_random():
+    gt = np.array([0, 0, 1, 1, 2, 2] * 10)
+    fg = np.ones_like(gt, bool)
+    assert fg_ari(gt, gt, fg) == 1.0
+    perm = (gt + 1) % 3  # consistent relabeling -> still perfect ARI
+    assert fg_ari(perm, gt, fg) == 1.0
+
+
+def test_image_processors():
+    imgs = jnp.zeros((1, 2, 3, 4, 4))
+    rgb = make_image_processor({"type": "RGB"})(imgs)
+    assert float(rgb[0, 0, 0, 0, 0]) == 0.5
+    patched = patch_processor(imgs, 3)
+    assert patched.shape == (1, 2, 27, 4, 4)
+
+
+def test_vis2d_builders():
+    H, W = 8, 16
+    data = {
+        "imgs": np.zeros((2, 3, H, W), np.float32),
+        "depth": np.full((H, W), 10.0, np.float32),
+        "rgb": np.random.RandomState(0).rand(H, W, 3).astype(np.float32),
+        "segs_pred": np.zeros((H, W), np.int64),
+        "weights": np.random.RandomState(1).rand(H, W, 8).astype(np.float32),
+    }
+    panels = tb_visualize(data)
+    for k in ("input_imgs", "depth", "reconstruction", "segmentation", "weight_entropy"):
+        assert k in panels
+        assert panels[k].shape[-1] == 3
+        assert np.all(panels[k] >= 0) and np.all(panels[k] <= 1 + 1e-6)
+    seg = get_segmentation(np.array([[0, -1]]))
+    assert np.allclose(seg[0, 1], 0.0)  # ignore -> black
+
+
+def test_jittered_patch_sampler():
+    key = jax.random.PRNGKey(0)
+    H, W = 16, 32
+    imgs = jax.random.uniform(key, (1, 2, 3, H, W))
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 2, 4, 4))
+    ks = jnp.broadcast_to(jnp.eye(3), (1, 2, 3, 3))
+    s = JitteredPatchRaySampler(3.0, 80.0, ray_batch_size=64, patch_size=4)
+    rays, rgb, _ = s.sample(key, imgs, poses, ks)
+    assert rays.shape == (1, 64, 11)
+    assert rgb.shape == (1, 64, 3)
+
+
+def test_orbax_checkpoint_roundtrip():
+    from scenedino_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    tree = {"a": jnp.arange(6).reshape(2, 3).astype(jnp.float32), "b": {"c": jnp.ones(4)}}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        save_checkpoint(path, tree)
+        restored = load_checkpoint(path, target=tree)
+        assert np.allclose(np.asarray(restored["a"]), np.asarray(tree["a"]))
+        assert np.allclose(np.asarray(restored["b"]["c"]), 1.0)
