@@ -120,7 +120,97 @@ def main():
     if args.stage == "nvs":
         run_stage1(config)
     else:
-        raise SystemExit("semantic stage CLI wiring lands with the stage-2 loop")
+        run_stage2(config)
+
+
+def run_stage2(config):
+    """Stage-2 downstream distillation (trainer_downstream.py parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenedino_tpu.datasets import make_datasets
+    from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
+    from scenedino_tpu.models.factory import make_model
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.renderer.nerf import RenderConfig
+    from scenedino_tpu.training.downstream import (
+        DownstreamTrainConfig,
+        init_downstream_state,
+        make_downstream_optimizer,
+        make_downstream_train_step,
+    )
+    from scenedino_tpu.training.loop import LoopConfig, find_latest_checkpoint, fit
+    from scenedino_tpu.utils import enable_compilation_cache
+    from scenedino_tpu.utils.checkpoint import load_checkpoint
+
+    enable_compilation_cache()
+    train_ds, _ = make_datasets(config["dataset"])
+    field = make_model(config.get("model", {}))
+
+    dconf = config.get("downstream", {})
+    head_cfg = SemanticHeadConfig(
+        n_classes=dconf.get("n_classes", 19),
+        gt_classes=dconf.get("gt_classes", 19),
+        input_dim=dconf.get("input_dim", 768),
+        code_dim=dconf.get("code_dim", 64),
+        buffer_size=dconf.get("buffer_size", 256),
+        patch_sample_size=dconf.get("patch_sample_size", 576),
+        knn_neighbors=dconf.get("knn_neighbors", 7),
+        mode=dconf.get("mode", "3d"),
+        mlp_head=dconf.get("mlp_head", False),
+    )
+    head = SemanticHead(cfg=head_cfg)
+
+    sample = train_ds[0]
+    batch0 = {k: jnp.asarray(v)[None] for k, v in sample.items() if k in ("imgs", "poses", "projs")}
+    key = jax.random.PRNGKey(config.get("seed", 0))
+    field_params = field.init(
+        {"params": key, "augment": key},
+        batch0["imgs"][:, :1], batch0["projs"][:, :1], batch0["poses"][:, :1],
+        method=SceneField.warmup,
+    )
+    resume_from = config.get("resume_from")
+    if resume_from:
+        latest = find_latest_checkpoint(resume_from) or resume_from
+        restored = load_checkpoint(latest)
+        # stage-1 checkpoints store {"params": ...} inside a TrainState
+        fp = restored.get("params", restored)
+        if "params" in fp:
+            field_params = {"params": fp["params"]}
+
+    from scenedino_tpu.models.downstream import RingBufferState
+
+    H, W = config["dataset"].get("image_size", (192, 640))
+    cfg = DownstreamTrainConfig(
+        lr=config.get("training", {}).get("optimizer", {}).get("args", {}).get("lr", 1e-3),
+        render_height=H, render_width=W,
+    )
+    buffers0 = RingBufferState.create(head_cfg.buffer_size, head_cfg.patch_sample_size, head_cfg.input_dim)
+    dino0 = jnp.zeros((1, 1, H, W, 1, head_cfg.input_dim))
+    crop0 = jnp.zeros((cfg.n_crops, cfg.n_samples, head_cfg.input_dim))
+    head_vars = head.init(
+        {"params": key, "dropout": key},
+        dino0, buffers0, key, crop_features=crop0,
+        seg_target=jnp.zeros((1, H, W), jnp.int32),
+        deterministic=True, method=SemanticHead.forward_training,
+    )
+    tx = make_downstream_optimizer(cfg, head_vars["params"])
+    state = init_downstream_state(head_vars, cfg, head_cfg, tx)
+    rcfg = RenderConfig(n_coarse=config.get("renderer", {}).get("n_coarse", 32))
+    step = jax.jit(make_downstream_train_step(field, field_params, head, cfg, rcfg, tx))
+
+    batch_size = config.get("batch_size", 1)
+    loop_cfg = LoopConfig(
+        output_path=config.get("output", {}).get("path", "out/semantic"),
+        num_epochs=config.get("training", {}).get("num_epochs", 10),
+        checkpoint_every=config.get("training", {}).get("checkpoint_every", 5000),
+    )
+
+    def data_iter():
+        for b in batch_iterator(train_ds, batch_size)():
+            yield {k: jnp.asarray(v) for k, v in b.items() if k in ("imgs", "poses", "projs", "segs")}
+
+    fit(state, step, data_iter, loop_cfg, key)
 
 
 if __name__ == "__main__":

