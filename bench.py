@@ -36,7 +36,8 @@ def build_fast_fn():
     from scenedino_tpu.renderer.nerf import RenderConfig, render_rays_chunked
 
     H, W = 192, 640
-    field = _flagship((H, W))
+    # bf16 encoder compute (params fp32): halves DPT conv activation traffic
+    field = _flagship((H, W), dtype=jnp.bfloat16)
     rcfg = RenderConfig(n_coarse=32)
     sampler = ImageRaySampler(3.0, 80.0, height=H, width=W)
     key = jax.random.PRNGKey(0)

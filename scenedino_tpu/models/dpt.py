@@ -17,7 +17,7 @@ native TPU layout); interpolation via jax.image.resize.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,13 +48,15 @@ def _resize_bilinear(x, size: Tuple[int, int], align_corners: bool):
 class PreActResidualConvUnit(nn.Module):
     """Pre-activated residual conv unit (dpt_head.py:76-122)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
         h = nn.relu(x)
-        h = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(h)
+        h = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1")(h)
         h = nn.relu(h)
-        h = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(h)
+        h = nn.Conv(C, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv2")(h)
         return h + x
 
 
@@ -63,6 +65,7 @@ class FeatureFusionBlock(nn.Module):
     scale-2 upsample, matching the reference default."""
 
     with_unit1: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, res=None):
@@ -70,10 +73,10 @@ class FeatureFusionBlock(nn.Module):
         if res is not None:
             if res.shape[1:3] != x.shape[1:3]:
                 res = _resize_bilinear(res, x.shape[1:3], align_corners=False)
-            x = x + PreActResidualConvUnit(name="res_conv_unit1")(res)
-        x = PreActResidualConvUnit(name="res_conv_unit2")(x)
+            x = x + PreActResidualConvUnit(dtype=self.dtype, name="res_conv_unit1")(res)
+        x = PreActResidualConvUnit(dtype=self.dtype, name="res_conv_unit2")(x)
         x = _resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2), align_corners=True)
-        x = nn.Conv(C, (1, 1), name="project")(x)
+        x = nn.Conv(C, (1, 1), dtype=self.dtype, name="project")(x)
         return x
 
 
@@ -83,32 +86,34 @@ class DPTHead(nn.Module):
 
     post_process_channels: Sequence[int] = (64, 64, 128, 256)
     d_out: int = 256
+    dtype: Any = None  # compute dtype (bf16 inference); params stay fp32
 
     @nn.compact
     def __call__(self, inputs):
+        dt = self.dtype
         ch = [min(self.d_out, c) for c in self.post_process_channels]
         feats = []
         for i, inp in enumerate(inputs):
             x = inp.transpose(0, 2, 3, 1)  # NHWC
-            x = nn.Conv(ch[i], (1, 1), name=f"reassemble_project_{i}")(x)
+            x = nn.Conv(ch[i], (1, 1), dtype=dt, name=f"reassemble_project_{i}")(x)
             if i == 0:
-                x = nn.ConvTranspose(ch[i], (4, 4), strides=(4, 4), transpose_kernel=True, name="resize_0")(x)
+                x = nn.ConvTranspose(ch[i], (4, 4), strides=(4, 4), transpose_kernel=True, dtype=dt, name="resize_0")(x)
             elif i == 1:
-                x = nn.ConvTranspose(ch[i], (2, 2), strides=(2, 2), transpose_kernel=True, name="resize_1")(x)
+                x = nn.ConvTranspose(ch[i], (2, 2), strides=(2, 2), transpose_kernel=True, dtype=dt, name="resize_1")(x)
             elif i == 3:
-                x = nn.Conv(ch[i], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name="resize_3")(x)
-            x = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, name=f"conv_{i}")(x)
+                x = nn.Conv(ch[i], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), dtype=dt, name="resize_3")(x)
+            x = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), use_bias=False, dtype=dt, name=f"conv_{i}")(x)
             feats.append(x)
 
-        out = FeatureFusionBlock(with_unit1=False, name="fusion_0")(feats[-1])
+        out = FeatureFusionBlock(with_unit1=False, dtype=dt, name="fusion_0")(feats[-1])
         for i in range(1, len(feats)):
-            out = FeatureFusionBlock(name=f"fusion_{i}")(out, feats[-(i + 1)])
+            out = FeatureFusionBlock(dtype=dt, name=f"fusion_{i}")(out, feats[-(i + 1)])
 
-        out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), name="project")(out)
+        out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="project")(out)
         # output head (dpt_head.py:165-180)
-        out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), name="head_conv0")(out)
-        out = nn.ConvTranspose(self.d_out, (2, 2), strides=(2, 2), transpose_kernel=True, name="head_deconv")(out)
-        out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), name="head_conv1")(out)
+        out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="head_conv0")(out)
+        out = nn.ConvTranspose(self.d_out, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=dt, name="head_deconv")(out)
+        out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="head_conv1")(out)
         return [out.transpose(0, 3, 1, 2)]  # back to NCHW
 
 

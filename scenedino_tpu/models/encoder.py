@@ -66,6 +66,7 @@ class DinoViTEncoder(nn.Module):
     image_size: Tuple[int, int] = (192, 640)
     intermediate_features: Tuple[int, ...] = (3, 6, 9)
     key_features: bool = False
+    dtype: Optional[object] = None  # compute dtype (bf16 inference)
 
     @property
     def patch_size(self) -> int:
@@ -87,6 +88,7 @@ class DinoViTEncoder(nn.Module):
             _vit_name(self.backbone, self.version),
             intermediate_layers=self.intermediate_features,
             want_key_features=self.key_features,
+            dtype=self.dtype,
         )
         out = vit(x)
         p = vit.cfg.patch_size
@@ -224,6 +226,7 @@ class DinoModuleConfig:
     dino_pca_dim: int = 64
     image_size: Tuple[int, int] = (192, 640)
     key_features: bool = False
+    dtype: Optional[object] = None  # compute dtype: None (fp32) or bf16
 
 
 class DinoModule(nn.Module):
@@ -255,9 +258,10 @@ class DinoModule(nn.Module):
             image_size=c.image_size,
             intermediate_features=tuple(c.intermediate_features),
             key_features=c.key_features,
+            dtype=c.dtype,
         )
         if c.decoder_arch == "dpt":
-            self.decoder = DPTHead(post_process_channels=tuple(c.num_ch_enc), d_out=c.decoder_out_dim)
+            self.decoder = DPTHead(post_process_channels=tuple(c.num_ch_enc), d_out=c.decoder_out_dim, dtype=c.dtype)
         elif c.decoder_arch in ("nearest", "bilinear", "bicubic"):
             self.decoder = NoDecoder(image_size=c.image_size, interpolation=c.decoder_arch)
         else:
@@ -270,6 +274,7 @@ class DinoModule(nn.Module):
                 image_size=c.image_size,
                 intermediate_features=(),
                 key_features=c.key_features,
+                dtype=c.dtype,
             )
         else:
             self.gt_encoder = self.vit_encoder

@@ -25,7 +25,7 @@ everything static-shaped; bf16-friendly (LayerNorms accumulate fp32).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +44,7 @@ class ViTConfig:
     ln_eps: float = 1e-6
     pos_embed_size: Tuple[int, int] = (224, 224)  # grid the stored pos-embed was trained at
     intermediate_layers: Tuple[int, ...] = (3, 6, 9)
+    dtype: Optional[object] = None  # compute dtype (bf16 for inference); params stay fp32
 
     @property
     def num_prefix_tokens(self) -> int:
@@ -86,19 +87,20 @@ class Attention(nn.Module):
     """timm-style MHSA with a qkv projection; optionally returns keys."""
 
     num_heads: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, return_keys=False):
         B, N, C = x.shape
         H = self.num_heads
         D = C // H
-        qkv = nn.Dense(3 * C, name="qkv")(x)  # (B, N, 3C)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)  # (B, N, 3C)
         qkv = qkv.reshape(B, N, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         # timm scales q by head_dim**-0.5
         out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         if return_keys:
             return out, k.transpose(0, 2, 1, 3)  # (B, H, N, D) like timm's getitem_4
         return out
@@ -106,13 +108,14 @@ class Attention(nn.Module):
 
 class Mlp(nn.Module):
     hidden: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(C, name="fc2")(x)
+        x = nn.Dense(C, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -123,23 +126,24 @@ class Block(nn.Module):
     mlp_ratio: float
     layerscale: bool
     ln_eps: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, return_keys=False):
         C = x.shape[-1]
-        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         keys = None
         if return_keys:
-            h, keys = Attention(self.num_heads, name="attn")(h, return_keys=True)
+            h, keys = Attention(self.num_heads, self.dtype, name="attn")(h, return_keys=True)
         else:
-            h = Attention(self.num_heads, name="attn")(h)
+            h = Attention(self.num_heads, self.dtype, name="attn")(h)
         if self.layerscale:
-            h = h * self.param("ls1", nn.initializers.constant(1e-5), (C,))
+            h = h * self.param("ls1", nn.initializers.constant(1e-5), (C,)).astype(h.dtype)
         x = x + h
-        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
-        h = Mlp(int(C * self.mlp_ratio), name="mlp")(h)
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(int(C * self.mlp_ratio), dtype=self.dtype, name="mlp")(h)
         if self.layerscale:
-            h = h * self.param("ls2", nn.initializers.constant(1e-5), (C,))
+            h = h * self.param("ls2", nn.initializers.constant(1e-5), (C,)).astype(h.dtype)
         x = x + h
         if return_keys:
             return x, keys
@@ -168,7 +172,7 @@ class VisionTransformer(nn.Module):
 
         # patch embed: conv P x P stride P == per-patch linear
         x = images.transpose(0, 2, 3, 1)  # NHWC
-        x = nn.Conv(cfg.width, (P, P), strides=(P, P), padding="VALID", name="patch_embed")(x)
+        x = nn.Conv(cfg.width, (P, P), strides=(P, P), padding="VALID", dtype=cfg.dtype, name="patch_embed")(x)
         x = x.reshape(B, n_patches, cfg.width)
 
         cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.width))
@@ -204,16 +208,18 @@ class VisionTransformer(nn.Module):
             last = i == cfg.depth - 1
             if last and self.want_key_features:
                 x, key_feats = Block(
-                    cfg.num_heads, cfg.mlp_ratio, cfg.layerscale, cfg.ln_eps, name=f"blocks_{i}"
+                    cfg.num_heads, cfg.mlp_ratio, cfg.layerscale, cfg.ln_eps, cfg.dtype,
+                    name=f"blocks_{i}"
                 )(x, return_keys=True)
             else:
                 x = Block(
-                    cfg.num_heads, cfg.mlp_ratio, cfg.layerscale, cfg.ln_eps, name=f"blocks_{i}"
+                    cfg.num_heads, cfg.mlp_ratio, cfg.layerscale, cfg.ln_eps, cfg.dtype,
+                    name=f"blocks_{i}"
                 )(x)
             if i in inter:
                 out[f"intermediate_features.{len([j for j in sorted(inter) if j <= i]) - 1}"] = x[:, T:]
 
-        x = nn.LayerNorm(epsilon=self.cfg.ln_eps, name="norm")(x)
+        x = nn.LayerNorm(epsilon=self.cfg.ln_eps, dtype=cfg.dtype, name="norm")(x)
         feats = x[:, T:]
         feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
         out["features_normalized"] = feats
@@ -222,6 +228,8 @@ class VisionTransformer(nn.Module):
         return out
 
 
-def make_vit(name: str, intermediate_layers: Sequence[int] = (3, 6, 9), want_key_features: bool = False) -> VisionTransformer:
-    cfg = dataclasses.replace(VIT_PRESETS[name], intermediate_layers=tuple(intermediate_layers))
+def make_vit(name: str, intermediate_layers: Sequence[int] = (3, 6, 9), want_key_features: bool = False, dtype=None) -> VisionTransformer:
+    cfg = dataclasses.replace(
+        VIT_PRESETS[name], intermediate_layers=tuple(intermediate_layers), dtype=dtype
+    )
     return VisionTransformer(cfg=cfg, want_key_features=want_key_features)
