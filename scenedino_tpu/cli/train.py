@@ -81,7 +81,19 @@ def run_stage1(config):
     )
     H, W = config["model"]["encoder"].get("image_size", (192, 640))
     gt_patch = getattr(field.encoder, "gt_patch_size", 8)
-    gt_dim = field.encoder.vit_encoder.latent_size if hasattr(field.encoder, "vit_encoder") else 768
+    # teacher latent size: vit_overrides width if set, else the preset width
+    econf = config["model"]["encoder"]
+    ov = econf.get("vit_overrides") or {}
+    if "width" in ov:
+        gt_dim = ov["width"]
+    else:
+        from scenedino_tpu.models.encoder import _vit_name
+        from scenedino_tpu.models.vit import VIT_PRESETS
+
+        gt_dim = VIT_PRESETS[
+            _vit_name(econf.get("encoder_arch", "vit-b"),
+                      econf.get("separate_gt_version") or econf.get("version", "v1"))
+        ].width
     state, tx = init_train_state(
         field, params, tcfg,
         artifact_shape=(gt_dim, H // gt_patch, W // gt_patch) if tcfg.compensate_artifacts else None,
@@ -99,6 +111,8 @@ def run_stage1(config):
         output_path=config.get("output", {}).get("path", "out/run"),
         num_epochs=tconf.get("num_epochs", 50),
         checkpoint_every=tconf.get("checkpoint_every", 10000),
+        log_every=tconf.get("log_every", 100),
+        stop_iteration=tconf.get("stop_iteration"),
         resume=tconf.get("continue", False),
     )
     with jax.set_mesh(mesh):

@@ -67,6 +67,7 @@ class DinoViTEncoder(nn.Module):
     intermediate_features: Tuple[int, ...] = (3, 6, 9)
     key_features: bool = False
     dtype: Optional[object] = None  # compute dtype (bf16 inference)
+    vit_overrides: Optional[Tuple[Tuple[str, int], ...]] = None  # e.g. (("width", 64), ("depth", 2))
 
     @property
     def patch_size(self) -> int:
@@ -74,6 +75,10 @@ class DinoViTEncoder(nn.Module):
 
     @property
     def latent_size(self) -> int:
+        if self.vit_overrides:
+            ov = dict(self.vit_overrides)
+            if "width" in ov:
+                return ov["width"]
         # read the live preset so shrunken test/dryrun ViTs stay consistent
         return VIT_PRESETS[_vit_name(self.backbone, self.version)].width
 
@@ -89,6 +94,7 @@ class DinoViTEncoder(nn.Module):
             intermediate_layers=self.intermediate_features,
             want_key_features=self.key_features,
             dtype=self.dtype,
+            overrides=dict(self.vit_overrides) if self.vit_overrides else None,
         )
         out = vit(x)
         p = vit.cfg.patch_size
@@ -227,6 +233,7 @@ class DinoModuleConfig:
     image_size: Tuple[int, int] = (192, 640)
     key_features: bool = False
     dtype: Optional[object] = None  # compute dtype: None (fp32) or bf16
+    vit_overrides: Optional[Tuple[Tuple[str, int], ...]] = None  # custom ViT size
 
 
 class DinoModule(nn.Module):
@@ -259,6 +266,7 @@ class DinoModule(nn.Module):
             intermediate_features=tuple(c.intermediate_features),
             key_features=c.key_features,
             dtype=c.dtype,
+            vit_overrides=c.vit_overrides,
         )
         if c.decoder_arch == "dpt":
             self.decoder = DPTHead(post_process_channels=tuple(c.num_ch_enc), d_out=c.decoder_out_dim, dtype=c.dtype)
@@ -275,6 +283,7 @@ class DinoModule(nn.Module):
                 intermediate_features=(),
                 key_features=c.key_features,
                 dtype=c.dtype,
+                vit_overrides=c.vit_overrides,
             )
         else:
             self.gt_encoder = self.vit_encoder

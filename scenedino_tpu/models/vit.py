@@ -228,8 +228,9 @@ class VisionTransformer(nn.Module):
         return out
 
 
-def make_vit(name: str, intermediate_layers: Sequence[int] = (3, 6, 9), want_key_features: bool = False, dtype=None) -> VisionTransformer:
+def make_vit(name: str, intermediate_layers: Sequence[int] = (3, 6, 9), want_key_features: bool = False, dtype=None, overrides=None) -> VisionTransformer:
     cfg = dataclasses.replace(
-        VIT_PRESETS[name], intermediate_layers=tuple(intermediate_layers), dtype=dtype
+        VIT_PRESETS[name], intermediate_layers=tuple(intermediate_layers), dtype=dtype,
+        **(overrides or {}),
     )
     return VisionTransformer(cfg=cfg, want_key_features=want_key_features)

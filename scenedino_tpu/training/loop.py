@@ -101,7 +101,7 @@ def fit(
         latest = find_latest_checkpoint(cfg.output_path)
         if latest:
             logger.info("resuming from %s", latest)
-            state = load_checkpoint(latest, target=state)
+            state = load_checkpoint(os.path.abspath(latest), target=state)
 
     it = int(np.asarray(state.step))
     best = {}
