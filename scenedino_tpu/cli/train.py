@@ -198,6 +198,8 @@ def run_stage2(config):
     cfg = DownstreamTrainConfig(
         lr=config.get("training", {}).get("optimizer", {}).get("args", {}).get("lr", 1e-3),
         render_height=H, render_width=W,
+        # crop sample capacity must match the head's ring-buffer row size
+        n_samples=head_cfg.patch_sample_size,
     )
     buffers0 = RingBufferState.create(head_cfg.buffer_size, head_cfg.patch_sample_size, head_cfg.input_dim)
     dino0 = jnp.zeros((1, 1, H, W, 1, head_cfg.input_dim))
@@ -218,6 +220,8 @@ def run_stage2(config):
         output_path=config.get("output", {}).get("path", "out/semantic"),
         num_epochs=config.get("training", {}).get("num_epochs", 10),
         checkpoint_every=config.get("training", {}).get("checkpoint_every", 5000),
+        log_every=config.get("training", {}).get("log_every", 100),
+        stop_iteration=config.get("training", {}).get("stop_iteration"),
     )
 
     def data_iter():
