@@ -31,6 +31,55 @@ def batch_iterator(dataset, batch_size, key_seed=0, shuffle=True, drop_last=True
     return it
 
 
+def make_val_batches_fn(dataset, indices, batch_size, keys):
+    """Deterministic validation batches over a subset (full batches only so
+    the jitted eval forward compiles once)."""
+    import jax.numpy as jnp
+
+    indices = np.asarray(indices)
+
+    def it():
+        for i in range(0, len(indices) - (batch_size - 1), batch_size):
+            samples = [dataset[int(j)] for j in indices[i : i + batch_size]]
+            yield {
+                k: jnp.asarray(np.stack([s[k] for s in samples]))
+                for k in keys if k in samples[0]
+            }
+
+    return it
+
+
+def build_validators(config, stage: str, **kw):
+    """`validation:` config blocks -> {name: Validator}
+    (configs/validation/{scenedino,semantic}.yaml schema)."""
+    from scenedino_tpu.training.validation import (
+        make_stage1_validator,
+        make_stage2_validator,
+        subset_indices,
+    )
+
+    vconf_all = config.get("validation") or {}
+    if not vconf_all:
+        return None
+    val_ds = kw.pop("dataset")
+    batch_size = kw.pop("batch_size")
+    keys = kw.pop("keys")
+    validators = {}
+    for name, vconf in vconf_all.items():
+        idx = subset_indices(vconf.get("subset"), len(val_ds), seed=config.get("seed", 0))
+        batches_fn = make_val_batches_fn(val_ds, idx, batch_size, keys)
+        if stage == "nvs":
+            validators[name] = make_stage1_validator(
+                name, vconf, kw["field"], kw["tcfg"], kw["rcfg"], batches_fn
+            )
+        else:
+            validators[name] = make_stage2_validator(
+                name, vconf, kw["field"], kw["field_params"], kw["head"],
+                kw["cfg"], kw["rcfg"], batches_fn,
+            )
+    return validators
+
+
 def run_stage1(config):
     import jax
     import jax.numpy as jnp
@@ -50,7 +99,7 @@ def run_stage1(config):
     from scenedino_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    train_ds, _ = make_datasets(config["dataset"])
+    train_ds, val_ds = make_datasets(config["dataset"])
     field = make_model(config["model"])
 
     rconf = config.get("renderer", {})
@@ -62,13 +111,19 @@ def run_stage1(config):
     )
     tconf = config.get("training", {})
     rs = tconf.get("ray_sampler", {})
+    sched = tconf.get("scheduler", {}) or {}
     tcfg = TrainConfig(
         lr=tconf.get("optimizer", {}).get("args", {}).get("lr", 1e-4),
+        scheduler_step=sched.get("step_size", 120000),
+        scheduler_gamma=sched.get("gamma", 0.1),
         ray_batch_size=rs.get("args", {}).get("ray_batch_size", 2048),
         patch_size=rs.get("args", {}).get("patch_size", 8),
         z_near=rs.get("z_near", 3.0),
         z_far=rs.get("z_far", 80.0),
         compensate_artifacts=config["model"].get("compensate_artifacts", True),
+        flip_augmentation=config["model"].get("flip_augmentation", True),
+        grid_shift_augmentation=config["model"].get("grid_shift_augmentation", True),
+        gradient_accum_factor=config.get("gradient_accum_factor", 1),
     )
     lcfg = ReconstructionLossConfig()
 
@@ -115,8 +170,13 @@ def run_stage1(config):
         stop_iteration=tconf.get("stop_iteration"),
         resume=tconf.get("continue", False),
     )
+    validators = build_validators(
+        config, "nvs", dataset=val_ds or train_ds, batch_size=batch_size,
+        keys=("imgs", "poses", "projs", "depths"),
+        field=field, tcfg=tcfg, rcfg=rcfg,
+    )
     with jax.set_mesh(mesh):
-        fit(state, step, data_iter, loop_cfg, key)
+        fit(state, step, data_iter, loop_cfg, key, validators=validators)
 
 
 def main():
@@ -158,7 +218,7 @@ def run_stage2(config):
     from scenedino_tpu.utils.checkpoint import load_checkpoint
 
     enable_compilation_cache()
-    train_ds, _ = make_datasets(config["dataset"])
+    train_ds, val_ds = make_datasets(config["dataset"])
     field = make_model(config.get("model", {}))
 
     dconf = config.get("downstream", {})
@@ -210,12 +270,24 @@ def run_stage2(config):
         seg_target=jnp.zeros((1, H, W), jnp.int32),
         deterministic=True, method=SemanticHead.forward_training,
     )
+    rcfg = RenderConfig(n_coarse=config.get("renderer", {}).get("n_coarse", 32))
+    batch_size = config.get("batch_size", 1)
+
+    # cluster-center init from the first batch (semantic_head.py:329-348):
+    # k-means++ on the features each head clusters (default), or "random"
+    from scenedino_tpu.training.downstream import seed_cluster_centers
+
+    init_type = dconf.get("cluster_init", "kmeans++")
+    key, k_seed = jax.random.split(key)
+    first = next(iter(batch_iterator(train_ds, batch_size)()))
+    first = {k: jnp.asarray(v) for k, v in first.items() if k in ("imgs", "poses", "projs", "segs")}
+    head_vars = seed_cluster_centers(
+        field, field_params, head, head_vars, first, k_seed, cfg, rcfg, init_type
+    )
+
     tx = make_downstream_optimizer(cfg, head_vars["params"])
     state = init_downstream_state(head_vars, cfg, head_cfg, tx)
-    rcfg = RenderConfig(n_coarse=config.get("renderer", {}).get("n_coarse", 32))
     step = jax.jit(make_downstream_train_step(field, field_params, head, cfg, rcfg, tx))
-
-    batch_size = config.get("batch_size", 1)
     loop_cfg = LoopConfig(
         output_path=config.get("output", {}).get("path", "out/semantic"),
         num_epochs=config.get("training", {}).get("num_epochs", 10),
@@ -228,7 +300,18 @@ def run_stage2(config):
         for b in batch_iterator(train_ds, batch_size)():
             yield {k: jnp.asarray(v) for k, v in b.items() if k in ("imgs", "poses", "projs", "segs")}
 
-    fit(state, step, data_iter, loop_cfg, key)
+    from scenedino_tpu.training.validation import make_update_model_fn
+
+    validators = build_validators(
+        config, "semantic", dataset=val_ds or train_ds, batch_size=batch_size,
+        keys=("imgs", "poses", "projs", "segs"),
+        field=field, field_params=field_params, head=head, cfg=cfg, rcfg=rcfg,
+    )
+    fit(
+        state, step, data_iter, loop_cfg, key,
+        validators=validators,
+        update_model_fn=make_update_model_fn() if validators else None,
+    )
 
 
 if __name__ == "__main__":

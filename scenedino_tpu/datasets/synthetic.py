@@ -15,7 +15,8 @@ import numpy as np
 
 def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color):
     """Ray-march a scene of axis-aligned boxes + ground plane. Returns
-    (rgb (3, H, W) in [0,1], depth (H, W))."""
+    (rgb (3, H, W) in [0,1], depth (H, W), seg (H, W) int: 0=ground,
+    1=sky, 2+k=box k)."""
     xs = (np.arange(W) + 0.5) / W * 2 - 1
     ys = (np.arange(H) + 0.5) / H * 2 - 1
     gx, gy = np.meshgrid(xs, ys)
@@ -27,14 +28,16 @@ def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color):
     d = dirs @ R.T
     rgb = np.zeros((H, W, 3), np.float32)
     depth = np.full((H, W), 1e5, np.float32)
+    seg = np.full((H, W), 1, np.int32)
 
     # ground plane y = 1.5 (y down)
     t_g = (1.5 - o[1]) / np.where(np.abs(d[..., 1]) > 1e-6, d[..., 1], 1e-6)
     hit_g = (t_g > 0.1) & (t_g < depth)
     depth = np.where(hit_g, t_g, depth)
     rgb[hit_g] = np.array([0.4, 0.35, 0.3])
+    seg[hit_g] = 0
 
-    for (center, size, color) in boxes:
+    for bi, (center, size, color) in enumerate(boxes):
         lo = np.asarray(center) - np.asarray(size) / 2
         hi = np.asarray(center) + np.asarray(size) / 2
         inv = 1.0 / np.where(np.abs(d) > 1e-9, d, 1e-9)
@@ -45,11 +48,13 @@ def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color):
         hit = (tmax > tmin) & (tmax > 0.1) & (tmin < depth) & (tmin > 0.1)
         depth = np.where(hit, tmin, depth)
         rgb[hit] = color
+        seg[hit] = 2 + bi
 
     sky = depth > 9e4
     rgb[sky] = np.array([0.6, 0.75, 0.95])
+    seg[sky] = 1
     depth = np.where(sky, 0.0, depth)
-    return rgb.transpose(2, 0, 1), depth
+    return rgb.transpose(2, 0, 1), depth, seg
 
 
 @dataclasses.dataclass
@@ -81,12 +86,15 @@ class SyntheticMultiViewDataset:
         imgs, poses = [], []
         V = self.n_views
         n_t = V // 2
+        depth0 = seg0 = None
         for t in range(n_t):
             for lr in range(2):
                 pose = np.eye(4, dtype=np.float32)
                 pose[0, 3] = lr * 0.54  # stereo baseline
                 pose[2, 3] = t * 1.2  # forward motion
-                rgb, _ = _render_scene(pose, self.K, H, W, boxes, rng)
+                rgb, depth, seg = _render_scene(pose, self.K, H, W, boxes, rng)
+                if t == 0 and lr == 0:
+                    depth0, seg0 = depth, seg
                 imgs.append(rgb * 2 - 1)
                 poses.append(pose)
         # reorder to [left x n_t, right x n_t] to mirror KITTI-360's layout
@@ -98,5 +106,10 @@ class SyntheticMultiViewDataset:
             "imgs": np.stack(imgs).astype(np.float32),
             "poses": np.stack(poses).astype(np.float32),
             "projs": np.stack([self.K] * V).astype(np.float32),
+            # GT of the front view like KITTI-360 (old_kitti_360.py:1067-1078):
+            # analytic depth (0 = invalid/sky) + semantic ids (0 ground,
+            # 1 sky, 2+k box k)
+            "depths": depth0[None].astype(np.float32),
+            "segs": seg0[None].astype(np.int32),
             "index": np.array([index]),
         }

@@ -60,8 +60,11 @@ def reconstruction_error(pred, gt, criterion):
 
 def cosine_error(pred, gt, axis=-1, eps=1e-8):
     """1 - cos similarity over the channel axis."""
-    pn = pred / jnp.maximum(jnp.linalg.norm(pred, axis=axis, keepdims=True), eps)
-    gn = gt / jnp.maximum(jnp.linalg.norm(gt, axis=axis, keepdims=True), eps)
+    from scenedino_tpu.core import safe_normalize
+
+    # NaN-safe at 0: rendered dino is exactly 0 when all ray weights are 0
+    pn = safe_normalize(pred, axis=axis, eps=eps)
+    gn = safe_normalize(gt, axis=axis, eps=eps)
     return 1.0 - jnp.sum(pn * gn, axis=axis)
 
 

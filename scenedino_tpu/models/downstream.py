@@ -29,7 +29,11 @@ from scenedino_tpu.ops.kmeans import kmeans_cosine_assign
 
 
 def _norm(x, eps=1e-10):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    # NaN-safe at x=0 (zero ring-buffer rows feed the stego head early in
+    # training; see core.safe_normalize)
+    from scenedino_tpu.core import safe_normalize
+
+    return safe_normalize(x, eps=eps)
 
 
 def five_crop(features, sample_factor=1):
@@ -240,6 +244,13 @@ class SemanticHead(nn.Module):
         if mode == "direct_linear":
             return self.direct_linear_head(features)["segs_pred"]
         raise NotImplementedError(mode)
+
+    def encode_features(self, dino_features, deterministic: bool = True):
+        """Normalized DINO features + their STEGO codes — the inputs the two
+        cluster heads see during training. Used to k-means++-seed the cluster
+        centers from the first batch (semantic_head.py:329-345)."""
+        d = _norm(jax.lax.stop_gradient(dino_features))
+        return d, self.stego_head(d, deterministic=deterministic)
 
     def forward_training(
         self,

@@ -68,6 +68,7 @@ class DinoViTEncoder(nn.Module):
     key_features: bool = False
     dtype: Optional[object] = None  # compute dtype (bf16 inference)
     vit_overrides: Optional[Tuple[Tuple[str, int], ...]] = None  # e.g. (("width", 64), ("depth", 2))
+    grad_checkpointing: bool = False  # remat ViT blocks (larger train batches)
 
     @property
     def patch_size(self) -> int:
@@ -89,12 +90,15 @@ class DinoViTEncoder(nn.Module):
             H, W = x.shape[-2:]
             nh, nw = H * 14 // 16, W * 14 // 16
             x = jax.image.resize(x, (*x.shape[:2], nh, nw), method="bilinear")
+        overrides = dict(self.vit_overrides) if self.vit_overrides else {}
+        if self.grad_checkpointing:
+            overrides["remat"] = True
         vit = make_vit(
             _vit_name(self.backbone, self.version),
             intermediate_layers=self.intermediate_features,
             want_key_features=self.key_features,
             dtype=self.dtype,
-            overrides=dict(self.vit_overrides) if self.vit_overrides else None,
+            overrides=overrides or None,
         )
         out = vit(x)
         p = vit.cfg.patch_size
@@ -127,9 +131,11 @@ class MlpDimReduction(nn.Module):
 
     @nn.compact
     def __call__(self, features):
+        from scenedino_tpu.core import safe_normalize
+
         h = nn.relu(nn.Dense(self.latent_channels, name="linear_in")(features))
         out = nn.Dense(self.full_channels, name="linear_out")(h)
-        return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return safe_normalize(out, eps=1e-12)
 
 
 class OrthogonalLinearDimReduction(nn.Module):
@@ -144,9 +150,11 @@ class OrthogonalLinearDimReduction(nn.Module):
             "weights",
             lambda k: jnp.eye(self.full_channels, self.reduced_channels),
         )
+        from scenedino_tpu.core import safe_normalize
+
         b = self.param("bias", nn.initializers.zeros, (self.full_channels,))
         out = features @ w.T + b
-        return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return safe_normalize(out, eps=1e-12)
 
 
 class BilinearDownsampler(nn.Module):
@@ -232,6 +240,7 @@ class DinoModuleConfig:
     dino_pca_dim: int = 64
     image_size: Tuple[int, int] = (192, 640)
     key_features: bool = False
+    grad_checkpointing: bool = False  # remat the *student* ViT blocks
     dtype: Optional[object] = None  # compute dtype: None (fp32) or bf16
     vit_overrides: Optional[Tuple[Tuple[str, int], ...]] = None  # custom ViT size
 
@@ -267,6 +276,7 @@ class DinoModule(nn.Module):
             key_features=c.key_features,
             dtype=c.dtype,
             vit_overrides=c.vit_overrides,
+            grad_checkpointing=c.grad_checkpointing,
         )
         if c.decoder_arch == "dpt":
             self.decoder = DPTHead(post_process_channels=tuple(c.num_ch_enc), d_out=c.decoder_out_dim, dtype=c.dtype)

@@ -32,6 +32,7 @@ def encoder_config_from_dict(conf: Dict[str, Any]) -> DinoModuleConfig:
         dino_pca_dim=conf.get("dino_pca_dim", 64),
         image_size=tuple(conf.get("image_size", (192, 640))),
         key_features=conf.get("key_features", False),
+        grad_checkpointing=conf.get("grad_checkpointing", False),
         dtype=conf.get("dtype"),
         vit_overrides=tuple(sorted(conf["vit_overrides"].items())) if conf.get("vit_overrides") else None,
     )

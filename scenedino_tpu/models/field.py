@@ -109,6 +109,7 @@ class SceneField(nn.Module):
         ids_loss: Optional[Tuple[int, ...]] = None,
         with_loss_feats: bool = False,
         loss_feature_grid_shift: Optional[Tuple[int, int]] = None,
+        augment_flip: bool = False,
     ) -> SceneState:
         """Run the image encoder(s) and bundle the scene state.
 
@@ -116,6 +117,12 @@ class SceneField(nn.Module):
         assignment compiles once. Matches BTSNet.encode (bts.py:112-259):
         the render images are de-normalized to [0, 1], poses are inverted
         to world->camera in fp32.
+
+        `augment_flip=True` draws one coin per batch from the "augment" rng
+        stream, horizontally flips the *student* encode images, and un-flips
+        the resulting feature grid (bts.py:185-216; the loss/teacher images
+        are never flipped). The select runs on the input/output tensors so
+        the encoder itself traces once.
         """
         B, V = images.shape[:2]
         all_ids = tuple(range(V))
@@ -138,9 +145,15 @@ class SceneField(nn.Module):
 
         imgs_enc = take(images, ids_encoder)
         ne = imgs_enc.shape[1]
+        flip_coin = None
+        if augment_flip:
+            flip_coin = jax.random.bernoulli(self.make_rng("augment"))
+            imgs_enc = jnp.where(flip_coin, jnp.flip(imgs_enc, axis=-1), imgs_enc)
         feats = self.encoder(imgs_enc.reshape(B * ne, *imgs_enc.shape[2:]))
         if isinstance(feats, (list, tuple)):
             feats = feats[0]
+        if flip_coin is not None:
+            feats = jnp.where(flip_coin, jnp.flip(feats, axis=-1), feats)
         feat_grid = feats.reshape(B, ne, *feats.shape[1:])
 
         loss_feats = None

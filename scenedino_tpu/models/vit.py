@@ -45,6 +45,9 @@ class ViTConfig:
     pos_embed_size: Tuple[int, int] = (224, 224)  # grid the stored pos-embed was trained at
     intermediate_layers: Tuple[int, ...] = (3, 6, 9)
     dtype: Optional[object] = None  # compute dtype (bf16 for inference); params stay fp32
+    # rematerialize block activations in the backward pass (jax.checkpoint)
+    # to trade FLOPs for HBM — enables larger train batches on-chip
+    remat: bool = False
 
     @property
     def num_prefix_tokens(self) -> int:
@@ -204,6 +207,9 @@ class VisionTransformer(nn.Module):
         out: Dict[str, jnp.ndarray] = {}
         inter = set(cfg.intermediate_layers)
         key_feats = None
+        # remat keeps the variable tree identical (flax lifted transform), so
+        # checkpoints are interchangeable with the non-remat model
+        Blk = nn.remat(Block) if cfg.remat else Block
         for i in range(cfg.depth):
             last = i == cfg.depth - 1
             if last and self.want_key_features:
@@ -212,7 +218,7 @@ class VisionTransformer(nn.Module):
                     name=f"blocks_{i}"
                 )(x, return_keys=True)
             else:
-                x = Block(
+                x = Blk(
                     cfg.num_heads, cfg.mlp_ratio, cfg.layerscale, cfg.ln_eps, cfg.dtype,
                     name=f"blocks_{i}"
                 )(x)

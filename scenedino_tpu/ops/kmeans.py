@@ -16,7 +16,9 @@ import jax.numpy as jnp
 
 
 def _norm(x, axis=-1, eps=1e-10):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    from scenedino_tpu.core import safe_normalize
+
+    return safe_normalize(x, axis=axis, eps=eps)
 
 
 def kmeans_plus_plus_init(key, features, n_clusters):

@@ -159,11 +159,12 @@ def downstream_forward(
     Returns (seg_data, rendered dict, new buffers, mutated head state)."""
     imgs, poses, projs = batch["imgs"], batch["poses"], batch["projs"]
     B, V = imgs.shape[:2]
-    k_view, k_render, k_crop, k_head, k_drop = jax.random.split(key, 5)
+    k_view, k_side, k_render, k_crop, k_head, k_drop = jax.random.split(key, 6)
 
-    # 50% fisheye side view (ids 4..8) while training (trainer_downstream.py:43-49)
+    # 50% fisheye side view (ids 4..8) while training (trainer_downstream.py:43-49);
+    # distinct keys for the coin and the view index so the draws decorrelate
     use_side = jax.random.uniform(k_view) < cfg.side_view_prob
-    side_id = jax.random.randint(k_view, (), min(4, V - 1), V)
+    side_id = jax.random.randint(k_side, (), min(4, V - 1), V)
     enc_id = jnp.where(jnp.logical_and(use_side, training), side_id, 0)
     has_segs = "segs" in batch
 
@@ -221,6 +222,64 @@ def downstream_forward(
     )
     rendered = {"depth": depth, "dino_features": dino768, "rgb": c["rgb"]}
     return seg_data, rendered, new_buffers, mut
+
+
+def seed_cluster_centers(
+    field: SceneField,
+    field_params,
+    head: SemanticHead,
+    head_variables,
+    batch: Dict,
+    key: jax.Array,
+    cfg: DownstreamTrainConfig,
+    rcfg: RenderConfig,
+    init_type: str = "kmeans++",
+    max_points: int = 8192,
+):
+    """Initialize both cluster heads' centers from the first batch.
+
+    The reference lazily (re-)initializes `cluster_centers` on the first
+    training batch (semantic_head.py:329-348): "kmeans++" seeds from the
+    features the head will cluster (normalized DINO for the direct head,
+    STEGO codes for the stego head); "random" re-draws unit-normal noise.
+    Returns updated head_variables.
+    """
+    from scenedino_tpu.ops.kmeans import kmeans_plus_plus_init
+
+    k_fwd, k_sub, k_d, k_s = jax.random.split(key, 4)
+    buffers = RingBufferState.create(
+        head.cfg.buffer_size, head.cfg.patch_sample_size, head.cfg.input_dim
+    )
+    _, rendered, _, _ = downstream_forward(
+        field, field_params, head, head_variables, batch, buffers, k_fwd,
+        cfg, rcfg, training=False,
+    )
+    dino_n, stego = head.apply(
+        head_variables, rendered["dino_features"],
+        method=SemanticHead.encode_features,
+    )
+    flat_d = dino_n.reshape(-1, dino_n.shape[-1])
+    flat_s = stego.reshape(-1, stego.shape[-1])
+    if flat_d.shape[0] > max_points:
+        idx = jax.random.choice(k_sub, flat_d.shape[0], (max_points,), replace=False)
+        flat_d, flat_s = flat_d[idx], flat_s[idx]
+
+    n_classes = head.cfg.n_classes
+    if init_type == "kmeans++":
+        centers_d = kmeans_plus_plus_init(k_d, flat_d, n_classes)
+        centers_s = kmeans_plus_plus_init(k_s, flat_s, n_classes)
+    elif init_type == "random":
+        centers_d = jax.random.normal(k_d, (n_classes, flat_d.shape[-1]))
+        centers_s = jax.random.normal(k_s, (n_classes, flat_s.shape[-1]))
+    else:
+        raise ValueError(f"unknown cluster init_type: {init_type!r}")
+
+    params = dict(head_variables["params"])
+    for name, centers in (("direct_cluster_head", centers_d), ("stego_cluster_head", centers_s)):
+        sub = dict(params[name])
+        sub["cluster_centers"] = centers.astype(sub["cluster_centers"].dtype)
+        params[name] = sub
+    return {**head_variables, "params": params}
 
 
 def make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,

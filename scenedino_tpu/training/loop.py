@@ -61,6 +61,27 @@ class MetricLogger:
             except (TypeError, ValueError):
                 pass
 
+    def histograms(self, tag: str, values: Dict[str, Any], step: int):
+        """Array-valued metrics (per-class IoU, stego correlations) as TB
+        histograms (MetricLoggingHandler histogram path, handlers.py:96-107)."""
+        if self.writer is None:
+            return
+        for k, v in values.items():
+            try:
+                self.writer.add_histogram(f"{tag}/{k}", np.asarray(v, np.float32), step)
+            except (TypeError, ValueError):
+                pass
+
+    def images(self, tag: str, values: Dict[str, Any], step: int):
+        """(H, W, 3) float [0,1] panels (VisualizationHandler parity)."""
+        if self.writer is None:
+            return
+        for k, v in values.items():
+            try:
+                self.writer.add_image(f"{tag}/{k}", np.asarray(v), step, dataformats="HWC")
+            except (TypeError, ValueError):
+                pass
+
     def close(self):
         if self.writer is not None:
             self.writer.close()
@@ -75,22 +96,104 @@ def find_latest_checkpoint(output_path: str) -> Optional[str]:
     return str(ckpts[-1]) if ckpts else None
 
 
+def _save_best_checkpoint(output_path: str, metric: str, it: int, score: float, state):
+    """`<metric>_best_<iter>` checkpoint, n_saved=1 per metric prefix
+    (base_trainer.py:446-462, ignite Checkpoint filename_prefix semantics)."""
+    import shutil
+
+    from scenedino_tpu.utils.checkpoint import save_checkpoint
+
+    path = os.path.join(output_path, f"{metric}_best_{it}")
+    save_checkpoint(os.path.abspath(path), jax.device_get(state))
+    for old in Path(output_path).glob(f"{metric}_best_*"):
+        if old.name != f"{metric}_best_{it}":
+            shutil.rmtree(old, ignore_errors=True)
+    logger.info("new best %s=%.5f at iter %d -> %s", metric, score, it, path)
+
+
+def run_validation(
+    state,
+    it: int,
+    validators: Dict[str, Any],
+    key: jax.Array,
+    tb: "MetricLogger",
+    cfg: LoopConfig,
+    best: Dict[str, float],
+    update_model_fn: Optional[Callable] = None,
+    force: bool = False,
+):
+    """Run due validators; handle update_model + save_best. Returns state.
+
+    Mirrors the create_validators event handler (base_trainer.py:446-474):
+    `update_model` fires after EVERY completed validation run of that
+    validator; the best checkpoint is written only when the signed score
+    improves — after the write-back, so the saved tree carries the fresh
+    pseudo-assignment.
+    """
+    for name, v in validators.items():
+        every = getattr(v, "every", None) or cfg.validate_every
+        if not force and it % every != 0:
+            continue
+        key, sub = jax.random.split(key)
+        if hasattr(v, "fn"):  # validation.Validator
+            metrics = v(state, sub)
+        else:  # plain fn(state) validators (back-compat/tests)
+            metrics = v(state)
+        scalars = {
+            k: m for k, m in metrics.items()
+            if np.isscalar(m) or getattr(m, "ndim", 1) == 0
+        }
+        arrays = {
+            k: m for k, m in metrics.items()
+            if isinstance(m, np.ndarray) and m.ndim == 1 and m.size > 1
+        }
+        tb.scalars(f"val/{name}", scalars, it)
+        tb.histograms(f"val/{name}", arrays, it)
+        if "images" in metrics:
+            tb.images(f"val/{name}", metrics["images"], it)
+        logger.info(
+            "val[%s] iter %d: %s", name, it,
+            {k: round(float(x), 5) for k, x in scalars.items()},
+        )
+
+        sb = getattr(v, "save_best", None)
+        if sb is not None:
+            if sb.update_model and update_model_fn is not None:
+                state = update_model_fn(state, metrics) or state
+            if sb.metric in metrics:
+                score = sb.sign * float(metrics[sb.metric])
+                if score > best.get(name, -np.inf):
+                    best[name] = score
+                    if not sb.dry_run and jax.process_index() == 0:
+                        _save_best_checkpoint(
+                            cfg.output_path, sb.metric, it, score, state
+                        )
+            else:
+                logger.warning(
+                    "save_best metric %r missing from validator %s output",
+                    sb.metric, name,
+                )
+        elif update_model_fn is not None:
+            state = update_model_fn(state, metrics) or state
+    return state
+
+
 def fit(
     state,
     train_step: Callable,
     data_iter_fn: Callable[[], Iterable],
     cfg: LoopConfig,
     key: jax.Array,
-    validators: Optional[Dict[str, Callable]] = None,
+    validators: Optional[Dict[str, Any]] = None,
     update_model_fn: Optional[Callable] = None,
     steps_per_epoch: Optional[int] = None,
 ):
     """Run the training loop; returns the final state.
 
     train_step(state, batch, key) -> (state, losses) — jitted outside.
-    validators: name -> fn(state) -> metrics dict; `update_model_fn(state,
-    metrics)` may return a modified state (the pseudo-assignment write-back,
-    base_trainer.py:446-474).
+    validators: name -> `validation.Validator` (or plain fn(state) ->
+    metrics); `update_model_fn(state, metrics)` may return a modified state
+    (the pseudo-assignment write-back, base_trainer.py:446-474).
     """
     from scenedino_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
@@ -104,7 +207,7 @@ def fit(
             state = load_checkpoint(os.path.abspath(latest), target=state)
 
     it = int(np.asarray(state.step))
-    best = {}
+    best: Dict[str, float] = {}
     t_data = t_step = 0.0
     try:
         for epoch in range(cfg.num_epochs):
@@ -134,14 +237,11 @@ def fit(
 
                             shutil.rmtree(old, ignore_errors=True)
 
-                if validators and it % cfg.validate_every == 0:
-                    for name, v in validators.items():
-                        metrics = v(state)
-                        tb.scalars(f"val/{name}", {
-                            k: m for k, m in metrics.items() if np.isscalar(m) or getattr(m, "ndim", 1) == 0
-                        }, it)
-                        if update_model_fn is not None:
-                            state = update_model_fn(state, metrics) or state
+                if validators:
+                    key, vkey = jax.random.split(key)
+                    state = run_validation(
+                        state, it, validators, vkey, tb, cfg, best, update_model_fn
+                    )
 
                 if cfg.stop_iteration and it >= cfg.stop_iteration:
                     logger.info("stop_iteration %d reached", cfg.stop_iteration)

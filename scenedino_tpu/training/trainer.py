@@ -38,6 +38,9 @@ class TrainConfig:
     encoder_lr_factor: float = 0.1  # ViT fine-tuned at lr/10 (trainer.py:562-574)
     scheduler_step: int = 120000
     scheduler_gamma: float = 0.1
+    # optimizer steps every k micro-batches on the averaged gradient
+    # (base_trainer.py:202,249-256 gradient_accum_factor)
+    gradient_accum_factor: int = 1
     ray_batch_size: int = 2048
     patch_size: int = 8
     z_near: float = 3.0
@@ -77,13 +80,18 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
 
         return walk(p)
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {
             "default": optax.adam(sched(cfg.lr)),
             "encoder": optax.adam(sched(cfg.lr * cfg.encoder_lr_factor)),
         },
         label_fn,
     )
+    if cfg.gradient_accum_factor > 1:
+        # average grads over k micro-batches, apply on the k-th — the
+        # reference's scaled-loss accumulation (base_trainer.py:249-256)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accum_factor)
+    return tx
 
 
 def sample_frame_split(key, n_frames: int):
@@ -143,8 +151,6 @@ def stage1_forward(
     if training and cfg.grid_shift_augmentation:
         shift = jax.random.randint(k_shift, (2,), -(gt_patch // 2), gt_patch // 2)
 
-    # flip augmentation applies to the student encode only (bts.py:185-215);
-    # we fold it into encode by flipping enc input + output feature grid.
     state = field.apply(
         params,
         imgs,
@@ -155,6 +161,7 @@ def stage1_forward(
         ids_loss=ids_loss,
         with_loss_feats=True,
         loss_feature_grid_shift=shift,
+        augment_flip=training and cfg.flip_augmentation,
         method=SceneField.encode,
         rngs={"augment": k_flip},
     )
@@ -241,6 +248,77 @@ def stage1_forward(
     return losses["rec_loss"], losses
 
 
+def stage1_eval_forward(
+    field: SceneField,
+    params,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    cfg: TrainConfig,
+    rcfg: RenderConfig,
+    chunk: int = 16384,
+):
+    """Full-frame validation render (the reference eval path: BTSWrapper in
+    eval mode switches to ImageRaySampler + downsampling_mode="image",
+    trainer.py:80-82,201,286). Returns a data dict for the metric fns:
+    depth (B, VL, H, W), rgb (B, VL, H, W, Vr, 3), dino_pred_grid /
+    dino_gt_grid (B, VL, Gh, Gw, Cd)."""
+    from scenedino_tpu.core.ray_sampler import ImageRaySampler
+    from scenedino_tpu.renderer.nerf import render_rays_chunked
+
+    imgs, poses, projs = batch["imgs"], batch["poses"], batch["projs"]
+    B, V, _, H, W = imgs.shape
+    to_base = jnp.linalg.inv(poses[:, :1].astype(jnp.float32))
+    poses = to_base @ poses
+    n_pairs = V // 2
+    ids_loss = jnp.arange(n_pairs, dtype=jnp.int32) * 2
+    ids_render = ids_loss + 1
+
+    state = field.apply(
+        params, imgs, projs, poses,
+        ids_encoder=(0,), ids_render=ids_render, ids_loss=ids_loss,
+        with_loss_feats=True, method=SceneField.encode,
+    )
+
+    poses_loss = jnp.take(poses, ids_loss, axis=1)
+    projs_loss = jnp.take(projs, ids_loss, axis=1)
+    sampler = ImageRaySampler(cfg.z_near, cfg.z_far, height=H, width=W)
+    rays = sampler.sample(None, poses_loss, projs_loss)  # (B, VL*H*W, 11)
+
+    def field_fn(xyz, only_density=False):
+        return field.apply(params, state, xyz, only_density=only_density)
+
+    out = render_rays_chunked(field_fn, rays[..., :8], key, rcfg, chunk=chunk)
+    c = out["coarse"]
+    VL = n_pairs
+    depth = c["depth"].reshape(B, VL, H, W)
+    Vr = c["rgb"].shape[-1] // 3
+    rgb = c["rgb"].reshape(B, VL, H, W, Vr, 3)
+
+    # prediction pooled to the teacher grid ("image" mode) vs teacher grid
+    dino64 = c["dino_features"].reshape(B, VL, H, W, 1, -1)
+    dino_pred = field.apply(params, dino64, method=SceneField.expand_dim)
+    pooled = field.apply(params, dino_pred, "image", method=SceneField.downsample)
+    dino_gt = state.loss_feats  # (B, VL, Cd, Gh, Gw)
+    dino_gt = dino_gt.transpose(0, 1, 3, 4, 2)  # (B, VL, Gh, Gw, Cd)
+    if pooled is not None:
+        dino_pred_grid = pooled.reshape(*dino_gt.shape)
+    else:
+        Gh, Gw = dino_gt.shape[2], dino_gt.shape[3]
+        ph, pw = H // Gh, W // Gw
+        dino_pred_grid = dino_pred.reshape(B, VL, Gh, ph, Gw, pw, -1).mean((3, 5))
+
+    data = {
+        "depth": depth,
+        "rgb": rgb,
+        "dino_pred_grid": dino_pred_grid,
+        "dino_gt_grid": dino_gt,
+        "imgs_gt": jnp.take(imgs, ids_loss, axis=1) * 0.5 + 0.5,
+    }
+    if "depths" in batch:
+        data["depths_gt"] = batch["depths"]
+    return data
+
+
 def make_train_step(field, cfg: TrainConfig, rcfg: RenderConfig, lcfg: ReconstructionLossConfig, tx):
     """Build the jittable (state, batch, key) -> (state, metrics) step."""
 
@@ -278,7 +356,10 @@ def make_train_step(field, cfg: TrainConfig, rcfg: RenderConfig, lcfg: Reconstru
 
 
 def _artifact_tx(cfg: TrainConfig):
-    return optax.adam(cfg.lr)
+    tx = optax.adam(cfg.lr)
+    if cfg.gradient_accum_factor > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accum_factor)
+    return tx
 
 
 def init_train_state(field, params, cfg: TrainConfig, artifact_shape: Optional[Tuple[int, int, int]] = None, key=None):

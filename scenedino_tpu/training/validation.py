@@ -1,0 +1,378 @@
+"""Validation-during-training: metric accumulation, best-metric scoring and
+the pseudo-assignment write-back.
+
+Behavioral parity target: `scenedino/training/base_trainer.py:316-486`
+(create_validators: per-validation-config metric engines, save_best
+checkpoint keyed on a metric such as `stego_cluster_weighted_miou`, the
+`update_model` hook writing the validation ILP assignment back into the
+model) + `scenedino/common/metrics.py` (DictMeanMetric:288,
+SegmentationMetric:370, ConcatenateMetric:459) +
+`scenedino/evaluation/wrapper.py` (create_{depth,dino,seg,stego}_eval).
+
+TPU redesign: ignite Metric objects become small host-side numpy
+accumulators fed by one jitted eval forward; the ignite event wiring
+becomes an `every`-step cadence checked by the training loop; the PuLP ILP
+is scipy Hungarian + argmax completion (eval/metrics.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from scenedino_tpu.eval.metrics import (
+    SEG_CLASS_WEIGHTS,
+    apply_assignment,
+    depth_metrics,
+    dino_cosine_similarity,
+    pseudo_label_assignment,
+    seg_confusion_matrix,
+    seg_scores,
+)
+
+logger = logging.getLogger("validation")
+
+
+@dataclasses.dataclass(frozen=True)
+class SaveBestConfig:
+    """`save_best:` block of a validation config (base_trainer.py:446-474)."""
+
+    metric: str
+    sign: float = 1.0
+    update_model: bool = False
+    dry_run: bool = False
+
+    @staticmethod
+    def from_dict(d: Optional[dict]) -> Optional["SaveBestConfig"]:
+        if not d:
+            return None
+        return SaveBestConfig(
+            metric=d["metric"],
+            sign=float(d.get("sign", 1.0)),
+            update_model=bool(d.get("update_model", False)),
+            dry_run=bool(d.get("dry_run", False)),
+        )
+
+
+# --------------------------------------------------------------- accumulators
+class DictMeanAccumulator:
+    """Mean of per-batch scalar dicts, keys flattened as f"{name}_{key}"
+    (DictMeanMetric, metrics.py:288-346)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.reset()
+
+    def reset(self):
+        self._sums: Dict[str, float] = {}
+        self._n = 0
+
+    def update(self, values: Dict[str, Any]):
+        for k, v in values.items():
+            v = float(np.mean(np.asarray(v)))
+            if np.isnan(v):
+                logger.warning("metric %s/%s is NaN; skipped", self.name, k)
+                continue
+            self._sums[k] = self._sums.get(k, 0.0) + v
+        self._n += 1
+
+    def compute(self) -> Dict[str, float]:
+        if self._n == 0:
+            return {}
+        return {f"{self.name}_{k}": v / self._n for k, v in self._sums.items()}
+
+
+class ConcatAccumulator:
+    """Concatenate per-batch arrays (ConcatenateMetric, metrics.py:459-480);
+    reported as f"{name}_{key}" ndarray values (the loop histograms them)."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.reset()
+
+    def reset(self):
+        self._parts: Dict[str, List[np.ndarray]] = {}
+
+    def update(self, values: Dict[str, Any]):
+        for k, v in values.items():
+            self._parts.setdefault(k, []).append(np.asarray(v).reshape(-1))
+
+    def compute(self) -> Dict[str, np.ndarray]:
+        return {
+            f"{self.name}_{k}": np.concatenate(v) for k, v in self._parts.items() if v
+        }
+
+
+class SegmentationAccumulator:
+    """Confusion-matrix accumulation + pseudo-assignment + (weighted) mIoU
+    (SegmentationMetric, metrics.py:370-456). update() takes a dict of
+    (gt_classes, n_classes) confusion matrices keyed by result name;
+    compute() emits the reference's flat key set: f"{key}_assignment",
+    f"{key}_per_class_iou", f"{key}_miou", f"{key}_weighted_miou",
+    f"{key}_acc", f"{key}_confusion_matrix"."""
+
+    def __init__(self, name: str = "seg", assign_pseudo: bool = True):
+        self.name = name
+        self.assign_pseudo = assign_pseudo
+        self.reset()
+
+    def reset(self):
+        self._sums: Dict[str, np.ndarray] = {}
+
+    def update(self, confusions: Dict[str, Any]):
+        for k, m in confusions.items():
+            m = np.asarray(m, np.int64)
+            if k in self._sums:
+                self._sums[k] += m
+            else:
+                self._sums[k] = m.copy()
+
+    def compute(self) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for key, conf in self._sums.items():
+            if self.assign_pseudo:
+                assignment = pseudo_label_assignment(conf)
+                folded = apply_assignment(conf, assignment)
+                out[key + "_assignment"] = assignment
+            else:
+                folded = conf
+            scores = seg_scores(folded, SEG_CLASS_WEIGHTS[: folded.shape[0]])
+            out[key + "_per_class_iou"] = scores["per_class_iou"]
+            out[key + "_miou"] = scores["miou"]
+            out[key + "_weighted_miou"] = scores["weighted_miou"]
+            out[key + "_acc"] = scores["acc"]
+            out[key + "_confusion_matrix"] = folded
+        return out
+
+
+# ------------------------------------------------------------ per-batch evals
+def compute_depth_metrics(data, scaling: Optional[str] = None) -> Dict[str, float]:
+    """create_depth_eval parity (wrapper.py:12-26): first loss view vs GT."""
+    if "depths_gt" not in data:
+        return {}
+    gt = np.asarray(data["depths_gt"])
+    pred = np.asarray(data["depth"])[:, 0]
+    gt0 = gt.reshape(pred.shape[0], -1, *pred.shape[1:])[:, 0]
+    m = depth_metrics(pred, gt0, scaling=scaling)
+    return {k: float(v) for k, v in m.items()}
+
+
+def compute_dino_metrics(data) -> Dict[str, float]:
+    """create_dino_eval parity (metrics.py:195-215): l1/l2/cos_sim of the
+    pooled prediction grid vs the teacher grid."""
+    pred = np.asarray(data["dino_pred_grid"], np.float32)
+    gt = np.asarray(data["dino_gt_grid"], np.float32)
+    return {
+        "l1": float(np.abs(pred - gt).mean()),
+        "l2": float(((pred - gt) ** 2).mean()),
+        "cos_sim": float(dino_cosine_similarity(pred, gt)),
+    }
+
+
+def compute_seg_confusions(seg_data, target, n_classes: int, gt_classes: int):
+    """compute_seg_metrics parity (metrics.py:230-247): per result key, the
+    (gt, pseudo) confusion of view-0 predictions against the target."""
+    out = {}
+    tgt = np.asarray(target).reshape(-1)
+    for key, result in seg_data["results"].items():
+        pred = np.asarray(result.get("pseudo_segs_pred", result.get("segs_pred")))
+        if pred.ndim >= 4:  # (B, V, H, W, ...): view 0 (metrics.py:238-241)
+            pred = pred[:, 0]
+        pred = pred.reshape(-1)
+        assert pred.shape[0] == tgt.shape[0], (key, pred.shape, tgt.shape)
+        n_pred = n_classes if "pseudo_segs_pred" in result else gt_classes
+        out[key] = np.asarray(seg_confusion_matrix(tgt, pred, gt_classes, n_pred))
+    return out
+
+
+def compute_stego_metrics(seg_data) -> Dict[str, np.ndarray]:
+    """create_stego_eval parity (metrics.py:218-228): correlation tensors."""
+    if "stego_corr" not in seg_data:
+        return {}
+    c = seg_data["stego_corr"]
+    return {
+        "stego_self_corr": np.asarray(c["stego_self_corr"]),
+        "stego_nn_corr": np.asarray(c["stego_nn_corr"]),
+        "stego_random_corr": np.asarray(c["stego_random_corr"]),
+    }
+
+
+# ------------------------------------------------------------------ validator
+@dataclasses.dataclass
+class Validator:
+    """One validation config: runs `fn(state, key) -> metrics` every `every`
+    train iterations; the loop handles save_best/update_model from the
+    returned flat metric dict (create_validators parity)."""
+
+    name: str
+    fn: Callable[[Any, jax.Array], Dict[str, Any]]
+    every: int = 5000
+    save_best: Optional[SaveBestConfig] = None
+
+    def __call__(self, state, key) -> Dict[str, Any]:
+        return self.fn(state, key)
+
+
+def subset_indices(subset_conf: Optional[dict], n: int, seed: int = 0) -> np.ndarray:
+    """`subset:` block: {"type": "range", "args": {start, end}} or
+    {"type": "random", "args": {"size": k}} (configs/validation/*.yaml)."""
+    if not subset_conf:
+        return np.arange(n)
+    t = subset_conf.get("type", "range")
+    args = subset_conf.get("args", {}) or {}
+    if t == "range":
+        return np.arange(args.get("start", 0), min(args.get("end", n), n))
+    if t == "random":
+        rng = np.random.RandomState(seed)
+        return rng.choice(n, size=min(args.get("size", n), n), replace=False)
+    raise ValueError(f"unknown subset type: {t!r}")
+
+
+def make_stage1_validator(
+    name: str,
+    val_cfg: dict,
+    field,
+    tcfg,
+    rcfg,
+    batches_fn: Callable[[], Iterable],
+) -> Validator:
+    """Stage-1 validator: full-frame render -> depth/dino metrics
+    (configs/validation/scenedino.yaml; save_best on dino_cos_sim)."""
+    from scenedino_tpu.training.trainer import stage1_eval_forward
+
+    fwd = jax.jit(
+        lambda params, batch, key: stage1_eval_forward(
+            field, params, batch, key, tcfg, rcfg
+        )
+    )
+    metric_types = [m["type"] for m in val_cfg.get("metrics", [])]
+
+    def run(state, key):
+        accs: Dict[str, DictMeanAccumulator] = {
+            t: DictMeanAccumulator(t) for t in metric_types if t in ("depth", "dino")
+        }
+        for batch in batches_fn():
+            key, sub = jax.random.split(key)
+            data = jax.device_get(fwd(state.params, batch, sub))
+            if "depth" in accs:
+                accs["depth"].update(compute_depth_metrics(data))
+            if "dino" in accs:
+                accs["dino"].update(compute_dino_metrics(data))
+        metrics: Dict[str, Any] = {}
+        for acc in accs.values():
+            metrics.update(acc.compute())
+        return metrics
+
+    return Validator(
+        name=name,
+        fn=run,
+        every=_events_every(val_cfg),
+        save_best=SaveBestConfig.from_dict(val_cfg.get("save_best")),
+    )
+
+
+def make_stage2_validator(
+    name: str,
+    val_cfg: dict,
+    field,
+    field_params,
+    head,
+    cfg,
+    rcfg,
+    batches_fn: Callable[[], Iterable],
+) -> Validator:
+    """Stage-2 validator: deterministic downstream forward -> seg confusion
+    + pseudo assignment + stego correlations
+    (configs/validation/semantic.yaml; save_best on
+    stego_cluster_weighted_miou with update_model)."""
+    from scenedino_tpu.training.downstream import downstream_forward
+
+    def _fwd(head_variables, buffers, batch, key):
+        seg_data, rendered, _, _ = downstream_forward(
+            field, field_params, head, head_variables, batch, buffers, key,
+            cfg, rcfg, training=False,
+        )
+        return seg_data, rendered
+
+    fwd = jax.jit(_fwd)
+    metric_confs = val_cfg.get("metrics", [])
+    n_classes = head.cfg.n_classes
+    gt_classes = head.cfg.gt_classes
+
+    def run(state, key):
+        seg_acc = None
+        stego_acc = None
+        for m in metric_confs:
+            if m["type"] == "seg":
+                args = m.get("args", {}) or {}
+                seg_acc = SegmentationAccumulator(
+                    "seg", assign_pseudo=m.get("agg_type", "unsup_seg") == "unsup_seg"
+                )
+                if "n_classes" in args:
+                    assert args["n_classes"] == n_classes
+            elif m["type"] == "stego":
+                stego_acc = ConcatAccumulator("stego")
+        for batch in batches_fn():
+            key, sub = jax.random.split(key)
+            seg_data, _ = jax.device_get(
+                fwd(state.head_variables, state.buffers, batch, sub)
+            )
+            if seg_acc is not None and "segs" in batch:
+                seg_acc.update(
+                    compute_seg_confusions(
+                        seg_data, np.asarray(batch["segs"])[:, 0], n_classes, gt_classes
+                    )
+                )
+            if stego_acc is not None:
+                stego_acc.update(compute_stego_metrics(seg_data))
+        metrics: Dict[str, Any] = {}
+        if seg_acc is not None:
+            metrics.update(seg_acc.compute())
+        if stego_acc is not None:
+            metrics.update(stego_acc.compute())
+        return metrics
+
+    return Validator(
+        name=name,
+        fn=run,
+        every=_events_every(val_cfg),
+        save_best=SaveBestConfig.from_dict(val_cfg.get("save_best")),
+    )
+
+
+def _events_every(val_cfg: dict, default: int = 5000) -> int:
+    """Extract the ITERATION_COMPLETED `every` from an `events:` list
+    (configs/validation/*.yaml event blocks)."""
+    for ev in val_cfg.get("events", []) or []:
+        if ev.get("type") == "ITERATION_COMPLETED":
+            return int((ev.get("args") or {}).get("every", default))
+    return int(val_cfg.get("every", default))
+
+
+def make_update_model_fn():
+    """The pseudo-assignment write-back (semantic_head.py:243-246 via
+    base_trainer.py:466-470): validation assignments are written into the
+    cluster heads' mutable `pseudo_assignment` state."""
+    import jax.numpy as jnp
+
+    def update(state, metrics):
+        pairs = (
+            ("direct_cluster_head", "direct_cluster_assignment"),
+            ("stego_cluster_head", "stego_cluster_assignment"),
+        )
+        if not any(k in metrics for _, k in pairs):
+            return state
+        hv = dict(state.head_variables)
+        st = dict(hv.get("state", {}))
+        for head_name, metric_key in pairs:
+            if metric_key in metrics:
+                sub = dict(st.get(head_name, {}))
+                sub["pseudo_assignment"] = jnp.asarray(metrics[metric_key], jnp.int32)
+                st[head_name] = sub
+        hv["state"] = st
+        return state.replace(head_variables=hv)
+
+    return update

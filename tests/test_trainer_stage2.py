@@ -98,6 +98,57 @@ def test_downstream_step_runs_and_updates_only_head():
     assert int(state.buffers.idx) != 0 or int(state.buffers.filled) > 1
 
 
+def test_seed_cluster_centers_kmeans_pp_from_data():
+    """Cluster centers must be seeded from first-batch features, not noise:
+    every k-means++ center is (a normalized copy of) an actual feature row
+    (semantic_head.py:329-345)."""
+    from scenedino_tpu.models.downstream import SemanticHead as SH
+    from scenedino_tpu.training.downstream import seed_cluster_centers
+
+    field, head, head_cfg, cfg = build()
+    batch = build_batch()
+    field_params = init_field_params(field, batch)
+    head_vars = init_head_vars(head, head_cfg)
+    rcfg = RenderConfig(n_coarse=8)
+
+    before_d = np.asarray(head_vars["params"]["direct_cluster_head"]["cluster_centers"])
+    new_vars = seed_cluster_centers(
+        field, field_params, head, head_vars, batch, jax.random.PRNGKey(7),
+        cfg, rcfg, init_type="kmeans++",
+    )
+    after_d = np.asarray(new_vars["params"]["direct_cluster_head"]["cluster_centers"])
+    after_s = np.asarray(new_vars["params"]["stego_cluster_head"]["cluster_centers"])
+    assert not np.allclose(before_d, after_d)
+
+    # recompute the candidate feature pool and check membership
+    from scenedino_tpu.models.downstream import RingBufferState
+    from scenedino_tpu.training.downstream import downstream_forward
+
+    buffers = RingBufferState.create(head_cfg.buffer_size, head_cfg.patch_sample_size, DINO_DIM)
+    _, rendered, _, _ = downstream_forward(
+        field, field_params, head, head_vars, batch, buffers,
+        jax.random.split(jax.random.PRNGKey(7), 4)[0], cfg, rcfg, training=False,
+    )
+    dino_n, stego = head.apply(
+        head_vars, rendered["dino_features"], method=SH.encode_features
+    )
+    pool_d = np.asarray(dino_n.reshape(-1, dino_n.shape[-1]))
+    pool_d = pool_d / np.maximum(np.linalg.norm(pool_d, axis=-1, keepdims=True), 1e-10)
+    pool_s = np.asarray(stego.reshape(-1, stego.shape[-1]))
+    pool_s = pool_s / np.maximum(np.linalg.norm(pool_s, axis=-1, keepdims=True), 1e-10)
+    for center in after_d:
+        assert np.min(np.linalg.norm(pool_d - center[None], axis=-1)) < 1e-5
+    for center in after_s:
+        assert np.min(np.linalg.norm(pool_s - center[None], axis=-1)) < 1e-5
+
+    # other params untouched; structure preserved
+    assert set(new_vars["params"].keys()) == set(head_vars["params"].keys())
+    np.testing.assert_array_equal(
+        np.asarray(new_vars["params"]["stego_head"]["linear"]["kernel"]),
+        np.asarray(head_vars["params"]["stego_head"]["linear"]["kernel"]),
+    )
+
+
 def test_downstream_forward_eval_mode():
     field, head, head_cfg, cfg = build()
     batch = build_batch()

@@ -1,0 +1,210 @@
+"""Validation-during-training end-to-end: metric accumulation, save_best
+checkpointing and the pseudo-assignment write-back
+(base_trainer.py:316-486 parity)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scenedino_tpu.renderer.nerf import RenderConfig
+from scenedino_tpu.training.validation import (
+    ConcatAccumulator,
+    DictMeanAccumulator,
+    SaveBestConfig,
+    SegmentationAccumulator,
+    Validator,
+    make_stage1_validator,
+    make_stage2_validator,
+    make_update_model_fn,
+    subset_indices,
+)
+
+
+# ------------------------------------------------------------ accumulators
+def test_segmentation_accumulator_assignment_and_scores():
+    # 3 gt classes, 3 pseudo classes; pseudo k predicts gt (k+1)%3 perfectly
+    conf = np.zeros((3, 3), np.int64)
+    conf[1, 0] = 10
+    conf[2, 1] = 20
+    conf[0, 2] = 30
+    acc = SegmentationAccumulator(assign_pseudo=True)
+    acc.update({"stego_cluster": conf})
+    acc.update({"stego_cluster": conf})  # accumulate across batches
+    out = acc.compute()
+    np.testing.assert_array_equal(out["stego_cluster_assignment"], [1, 2, 0])
+    assert out["stego_cluster_miou"] == pytest.approx(1.0)
+    assert out["stego_cluster_acc"] == pytest.approx(1.0)
+    assert out["stego_cluster_confusion_matrix"].sum() == 120
+
+
+def test_dict_mean_accumulator_flattens_and_averages():
+    acc = DictMeanAccumulator("depth")
+    acc.update({"abs_rel": 0.2, "a1": 1.0})
+    acc.update({"abs_rel": 0.4, "a1": 0.0})
+    out = acc.compute()
+    assert out["depth_abs_rel"] == pytest.approx(0.3)
+    assert out["depth_a1"] == pytest.approx(0.5)
+
+
+def test_concat_accumulator():
+    acc = ConcatAccumulator("stego")
+    acc.update({"stego_self_corr": np.ones((2, 2))})
+    acc.update({"stego_self_corr": np.zeros(3)})
+    out = acc.compute()
+    assert out["stego_stego_self_corr"].shape == (7,)
+
+
+def test_subset_indices():
+    idx = subset_indices({"type": "range", "args": {"start": 2, "end": 5}}, 10)
+    np.testing.assert_array_equal(idx, [2, 3, 4])
+    idx = subset_indices({"type": "random", "args": {"size": 4}}, 10, seed=1)
+    assert len(idx) == 4 and len(set(idx.tolist())) == 4
+    np.testing.assert_array_equal(subset_indices(None, 3), [0, 1, 2])
+
+
+# ------------------------------------------------------- stage-2 validator
+VAL_CFG_S2 = {
+    "metrics": [
+        {"type": "seg", "agg_type": "unsup_seg", "args": {"n_classes": 5, "gt_classes": 4}},
+        {"type": "stego", "agg_type": "concat"},
+    ],
+    "save_best": {"metric": "stego_cluster_weighted_miou", "update_model": True},
+    "events": [{"type": "ITERATION_COMPLETED", "args": {"every": 1}}],
+}
+
+
+def _stage2_setup():
+    from tests.test_trainer_stage2 import (
+        build,
+        build_batch,
+        init_field_params,
+        init_head_vars,
+    )
+
+    field, head, head_cfg, cfg = build()
+    batch = build_batch()
+    # GT segs in [0, gt_classes)
+    batch["segs"] = (jnp.arange(batch["segs"].size, dtype=jnp.int32) % 4).reshape(
+        batch["segs"].shape
+    )
+    field_params = init_field_params(field, batch)
+    head_vars = init_head_vars(head, head_cfg)
+    return field, head, head_cfg, cfg, batch, field_params, head_vars
+
+
+def test_stage2_validator_metrics_and_write_back():
+    from scenedino_tpu.training.downstream import (
+        init_downstream_state,
+        make_downstream_optimizer,
+    )
+
+    field, head, head_cfg, cfg, batch, field_params, head_vars = _stage2_setup()
+    rcfg = RenderConfig(n_coarse=8)
+    v = make_stage2_validator(
+        "validation", VAL_CFG_S2, field, field_params, head, cfg, rcfg,
+        lambda: iter([batch]),
+    )
+    assert v.every == 1
+    assert v.save_best.metric == "stego_cluster_weighted_miou"
+    assert v.save_best.update_model
+
+    tx = make_downstream_optimizer(cfg, head_vars["params"])
+    state = init_downstream_state(head_vars, cfg, head_cfg, tx)
+    metrics = v(state, jax.random.PRNGKey(0))
+
+    for key in (
+        "stego_cluster_weighted_miou", "stego_cluster_miou", "stego_cluster_acc",
+        "stego_cluster_assignment", "direct_cluster_assignment",
+        "direct_linear_miou", "stego_stego_self_corr",
+    ):
+        assert key in metrics, sorted(metrics.keys())
+    assert metrics["stego_cluster_assignment"].shape == (5,)
+    assert set(metrics["stego_cluster_assignment"]) <= set(range(4))
+
+    # the write-back mutates the cluster heads' pseudo_assignment state
+    update = make_update_model_fn()
+    new_state = update(state, metrics)
+    got = np.asarray(
+        new_state.head_variables["state"]["stego_cluster_head"]["pseudo_assignment"]
+    )
+    np.testing.assert_array_equal(got, metrics["stego_cluster_assignment"])
+    got_d = np.asarray(
+        new_state.head_variables["state"]["direct_cluster_head"]["pseudo_assignment"]
+    )
+    np.testing.assert_array_equal(got_d, metrics["direct_cluster_assignment"])
+
+
+def test_fit_with_validator_saves_best_and_updates_model(tmp_path):
+    """The full loop: train + validate each iter -> best checkpoint written
+    AND the in-loop state carries the written-back assignment."""
+    from scenedino_tpu.training.downstream import (
+        init_downstream_state,
+        make_downstream_optimizer,
+        make_downstream_train_step,
+    )
+    from scenedino_tpu.training.loop import LoopConfig, fit
+
+    field, head, head_cfg, cfg, batch, field_params, head_vars = _stage2_setup()
+    rcfg = RenderConfig(n_coarse=8)
+    tx = make_downstream_optimizer(cfg, head_vars["params"])
+    state = init_downstream_state(head_vars, cfg, head_cfg, tx)
+    step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx)
+
+    validator = make_stage2_validator(
+        "validation", VAL_CFG_S2, field, field_params, head, cfg, rcfg,
+        lambda: iter([batch]),
+    )
+    loop_cfg = LoopConfig(
+        output_path=str(tmp_path), num_epochs=1, checkpoint_every=1000,
+        log_every=1, stop_iteration=2,
+    )
+    before = np.asarray(
+        state.head_variables["state"]["stego_cluster_head"]["pseudo_assignment"]
+    )
+    final = fit(
+        state, step, lambda: iter([batch, batch, batch]), loop_cfg,
+        jax.random.PRNGKey(0), validators={"validation": validator},
+        update_model_fn=make_update_model_fn(),
+    )
+    best_dirs = [d for d in os.listdir(tmp_path) if d.startswith("stego_cluster_weighted_miou_best_")]
+    assert len(best_dirs) == 1, os.listdir(tmp_path)
+    after = np.asarray(
+        final.head_variables["state"]["stego_cluster_head"]["pseudo_assignment"]
+    )
+    # the assignment was written from validation metrics (shape preserved,
+    # values within gt range)
+    assert after.shape == before.shape
+    assert set(after.tolist()) <= set(range(4))
+
+
+# ------------------------------------------------------- stage-1 validator
+def test_stage1_validator_depth_and_dino_metrics():
+    from scenedino_tpu.training.trainer import TrainConfig, init_train_state
+    from tests.test_trainer_stage1 import build_batch, build_field, init_all
+
+    field = build_field()
+    tcfg = TrainConfig(
+        ray_batch_size=64, patch_size=4, compensate_artifacts=False,
+        grid_shift_augmentation=False,
+    )
+    rcfg = RenderConfig(n_coarse=8)
+    batch = build_batch()
+    # plausible GT depth for the front view
+    batch["depths"] = jnp.full((2, 1, 16, 32), 10.0)
+    params = init_all(field, batch, tcfg)
+    state, _ = init_train_state(field, params, tcfg)
+
+    vcfg = {
+        "metrics": [{"type": "depth", "args": None}, {"type": "dino", "args": None}],
+        "save_best": {"metric": "dino_cos_sim", "sign": 1},
+        "events": [{"type": "ITERATION_COMPLETED", "args": {"every": 5000}}],
+    }
+    v = make_stage1_validator("validation", vcfg, field, tcfg, rcfg, lambda: iter([batch]))
+    assert v.every == 5000
+    metrics = v(state, jax.random.PRNGKey(0))
+    for key in ("depth_abs_rel", "depth_a1", "depth_rmse", "dino_cos_sim", "dino_l1"):
+        assert key in metrics, sorted(metrics.keys())
+    assert -1.0 <= metrics["dino_cos_sim"] <= 1.0
+    assert metrics["depth_abs_rel"] >= 0.0
