@@ -30,6 +30,7 @@ def main():
         choices=["stego_kmeans", "direct_linear", "direct_kmeans", "stego_linear"],
     )
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--calib", default=None, help="semantic-KITTI-style calib.txt (defaults to the SSCBench-KITTI-360 release values)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +67,8 @@ def main():
     else:
         variables = load_checkpoint(args.ckpt, target=variables)
 
-    pts, fov_mask = S.generate_point_grid()
+    calib = S.read_calib(args.calib)
+    pts, fov_mask = S.generate_point_grid(calib=calib)
     fov3 = fov_mask.reshape(256, 256, 32)
     pts_j = jnp.asarray(pts)
 

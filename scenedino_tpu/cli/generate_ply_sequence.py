@@ -1,0 +1,157 @@
+"""Per-frame voxel PLY sequence export (video tooling).
+
+Behavioral parity target: `sscbench/generate_ply_sequence.py` — the
+video-friendly variant of the SSC evaluator: per frame, encode the front
+image, query a fine (default 0.1 m, `VOXEL_SIZE:49`) voxel grid through the
+field + semantic head with alpha weighting and NO grow max-pool
+(`USE_MAXPOOLING=False:56`), threshold sigma > 0.25 (`SIGMA_CUTOFF:53`),
+optionally keep only in-FOV voxels (`PLY_ONLY_FOV:59`), carve invisible
+voxels, and write one class-colored cube-mesh PLY per requested range
+(`PLY_SIZES = [12.8, 25.6, 51.2]:67`) into `<out>/<size>/<frame>.ply`.
+
+Usage:
+  python -m scenedino_tpu.cli.generate_ply_sequence \
+      --data <kitti360 root> --ckpt <orbax dir or torch .pt> --out <dir> \
+      [--voxel-size 0.1] [--sigma-cutoff 0.25] [--sizes 12.8 25.6 51.2] \
+      [--ids 10 20 30] [--max-frames N]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser("PLY sequence generator")
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--variant", default="dino", choices=["dino", "dinov2"])
+    ap.add_argument(
+        "--prediction-mode", default="stego_kmeans",
+        choices=["stego_kmeans", "direct_linear", "direct_kmeans", "stego_linear"],
+    )
+    ap.add_argument("--voxel-size", type=float, default=0.1)
+    ap.add_argument("--sigma-cutoff", type=float, default=0.25)
+    ap.add_argument("--sizes", type=float, nargs="+", default=[12.8, 25.6, 51.2])
+    ap.add_argument("--fov-only", action="store_true", default=True)
+    ap.add_argument("--no-fov-only", dest="fov_only", action="store_false")
+    ap.add_argument("--ids", type=int, nargs="*", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--calib", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scenedino_tpu.cli.demo import build_model
+    from scenedino_tpu.datasets.labels import TRAIN_CLASS_COLORS
+    from scenedino_tpu.datasets.sscbench import SSCBenchDataset
+    from scenedino_tpu.eval import sscbench as S
+    from scenedino_tpu.eval.voxel_io import save_as_voxel_ply
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.utils import enable_compilation_cache
+    from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, load_checkpoint
+
+    enable_compilation_cache()
+    logging.basicConfig(level=logging.INFO)
+
+    dataset = SSCBenchDataset(data_path=args.data, voxel_gt_path=None)
+    field = build_model(variant=args.variant)
+
+    key = jax.random.PRNGKey(0)
+    H, W = 192, 640
+    dummy = (
+        jnp.zeros((1, 1, 3, H, W)),
+        jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
+        jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
+    )
+    variables = field.init({"params": key, "augment": key}, *dummy, method=SceneField.warmup)
+    if args.ckpt.endswith(".pt"):
+        import torch
+
+        sd = torch.load(args.ckpt, map_location="cpu")["model"]
+        conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
+        variables = {"params": conv["params"], **conv.get("state", {})}
+    else:
+        variables = load_checkpoint(args.ckpt, target=variables)
+
+    vs = args.voxel_size
+    calib = S.read_calib(args.calib)
+    pts, fov_mask = S.generate_point_grid(voxel_size=vs, calib=calib)
+    grid_dim = tuple(int(np.ceil(s / vs)) for s in S.SCENE_SIZE)
+    fov3 = fov_mask.reshape(grid_dim)
+    pts_j = jnp.asarray(pts)
+
+    for size in args.sizes:
+        os.makedirs(os.path.join(args.out, str(int(size))), exist_ok=True)
+
+    @jax.jit
+    def encode(variables, imgs, projs, poses):
+        poses = jnp.linalg.inv(poses[:, :1]) @ poses
+        return field.apply(
+            variables, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
+            method=SceneField.encode,
+        )
+
+    holder = {}
+
+    def query_fn(block):
+        _, sigma, seg = field.apply(
+            holder["vars"], holder["state"], block,
+            mode=args.prediction_mode, method=SceneField.query_segmentation,
+        )
+        if seg is None:
+            raise RuntimeError("checkpoint has no downstream head")
+        return sigma, jax.nn.one_hot(seg, 19)
+
+    n_pts = pts.shape[0]
+    chunk = 128 * 128 * 32
+    while n_pts % chunk:
+        chunk //= 2
+    predict = S.make_grid_predictor(
+        query_fn, chunk_points=chunk, grow=False, grid_dim=grid_dim, voxel_size=vs
+    )
+
+    ids = list(args.ids) if args.ids is not None else list(range(len(dataset)))
+    if args.max_frames:
+        ids = ids[: args.max_frames]
+    t_total = 0.0
+    for count, i in enumerate(ids):
+        sample = dataset[int(i)]
+        t0 = time.perf_counter()
+        holder["vars"] = variables
+        holder["state"] = encode(
+            variables,
+            jnp.asarray(sample["imgs"])[None],
+            jnp.asarray(sample["projs"])[None],
+            jnp.asarray(sample["poses"])[None],
+        )
+        sigmas, segs = predict(pts_j)
+        sigmas = np.asarray(sigmas)
+        segs = np.asarray(segs)
+        t_total += time.perf_counter() - t0
+
+        occupied = sigmas > args.sigma_cutoff
+        if args.fov_only:
+            occupied &= fov3
+        occupied = np.asarray(S.remove_invisible(occupied))
+        colors = TRAIN_CLASS_COLORS[np.clip(segs, 0, 19)]
+
+        for size in args.sizes:
+            nv = int(size / vs)
+            half = grid_dim[1] // 2
+            sl = np.s_[:nv, half - nv // 2 : half + nv // 2, :]
+            path = os.path.join(args.out, str(int(size)), f"{int(i):06d}.ply")
+            save_as_voxel_ply(
+                path, occupied[sl], origin=S.VOX_ORIGIN, voxel_size=vs,
+                colors=colors[sl],
+            )
+        logging.info("frame %d (%d/%d) %.2f s/frame", i, count + 1, len(ids), t_total / (count + 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,7 @@ class SSCBenchDataset:
     "voxel_gt" (256, 256, 32), "index"} (sscbench_dataset.py:443-508)."""
 
     data_path: str
-    voxel_gt_path: str
+    voxel_gt_path: Optional[str] = None  # None: all frames, no "voxel_gt" key
     pose_path: Optional[str] = None
     sequences: Tuple[str, ...] = ("2013_05_28_drive_0009_sync",)
     target_image_size: Tuple[int, int] = (192, 640)
@@ -55,6 +55,12 @@ class SSCBenchDataset:
     def _load_datapoints(self):
         dps = []
         for seq in self.sequences:
+            if self.voxel_gt_path is None:
+                # no GT (PLY-sequence export): every rectified front image
+                img_dir = Path(self.data_path) / "data_2d_raw" / seq / "image_00" / "data_rect"
+                for f in sorted(img_dir.glob("*.png")) if img_dir.exists() else []:
+                    dps.append((seq, int(f.stem), False))
+                continue
             gt_dir = Path(self.voxel_gt_path) / seq
             if not gt_dir.exists():
                 continue
@@ -95,11 +101,12 @@ class SSCBenchDataset:
             poses += [self._poses[seq][fid_idx] @ T["02"], self._poses[seq][fid_idx] @ T["03"]]
             projs += [self._calibs["K_fisheye"]] * 2
 
-        voxel_gt = np.load(Path(self.voxel_gt_path) / seq / f"{frame_id:06d}_1_1.npy")
-        return {
+        out = {
             "imgs": np.stack(imgs).astype(np.float32),
             "poses": np.stack(poses).astype(np.float32),
             "projs": np.stack(projs).astype(np.float32),
-            "voxel_gt": voxel_gt,
             "index": np.array([index]),
         }
+        if self.voxel_gt_path is not None:
+            out["voxel_gt"] = np.load(Path(self.voxel_gt_path) / seq / f"{frame_id:06d}_1_1.npy")
+        return out

@@ -31,7 +31,8 @@ VOX_ORIGIN = np.array([0.0, -25.6, -2.0], np.float32)
 SCENE_SIZE = (51.2, 51.2, 6.4)
 IMG_W, IMG_H = 1408, 376
 
-# SSCBench-KITTI-360 calibration (point_utils.py:84-157)
+# SSCBench-KITTI-360 calibration defaults (point_utils.py:84-157 hardcodes
+# these; we additionally parse a semantic-KITTI-style calib.txt when given)
 CAM_K = np.array(
     [[552.554261, 0.0, 682.049453], [0.0, 552.554261, 238.769549], [0.0, 0.0, 1.0]],
     np.float64,
@@ -46,6 +47,43 @@ CAM2VELO = np.array(
     np.float64,
 )
 VELO2CAM = np.linalg.inv(CAM2VELO)
+
+
+@dataclasses.dataclass(frozen=True)
+class SSCCalib:
+    """Per-export calibration (defaults = the SSCBench-KITTI-360 release)."""
+
+    cam_k: np.ndarray = dataclasses.field(default_factory=lambda: CAM_K)
+    velo2cam: np.ndarray = dataclasses.field(default_factory=lambda: VELO2CAM)
+    img_w: int = IMG_W
+    img_h: int = IMG_H
+
+
+def read_calib(calib_path: Optional[str] = None) -> SSCCalib:
+    """Load calibration from a semantic-KITTI-style `calib.txt` ("P2: <12
+    floats>" intrinsics row-major 3x4, "Tr: <12 floats>" velo->cam). The
+    reference's read_calib (point_utils.py:84-136) hardcodes the KITTI-360
+    values; passing no path reproduces that."""
+    if calib_path is None:
+        return SSCCalib()
+    vals = {}
+    with open(calib_path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            key, _, rest = line.partition(":")
+            try:
+                vals[key.strip()] = np.array([float(x) for x in rest.split()])
+            except ValueError:
+                continue
+    calib = SSCCalib()
+    if "P2" in vals and vals["P2"].size == 12:
+        calib = dataclasses.replace(calib, cam_k=vals["P2"].reshape(3, 4)[:3, :3])
+    if "Tr" in vals and vals["Tr"].size == 12:
+        v2c = np.eye(4)
+        v2c[:3, :4] = vals["Tr"].reshape(3, 4)
+        calib = dataclasses.replace(calib, velo2cam=v2c)
+    return calib
 
 # label_maps.yaml
 SSCBENCH_TO_LABEL = {
@@ -73,27 +111,32 @@ def convert_voxels(arr, map_dict):
     return lut[np.asarray(arr, np.int64)]
 
 
-def generate_point_grid(voxel_size=VOXEL_SIZE, vox_origin=VOX_ORIGIN, scene_size=SCENE_SIZE):
+def generate_point_grid(
+    voxel_size=VOXEL_SIZE, vox_origin=VOX_ORIGIN, scene_size=SCENE_SIZE,
+    calib: Optional[SSCCalib] = None,
+):
     """Voxel-center points in the camera frame + fov mask
     (point_utils.py:17-82). Returns (pts (N, 3) float32 cam coords,
     fov_mask (N,) bool) with N = 256*256*32 at 0.2 m."""
+    calib = calib or SSCCalib()
     vol_dim = np.ceil(np.array(scene_size) / voxel_size).astype(int)
     xv, yv, zv = np.meshgrid(range(vol_dim[0]), range(vol_dim[1]), range(vol_dim[2]), indexing="ij")
     coords = np.stack([xv.reshape(-1), yv.reshape(-1), zv.reshape(-1)], 1).astype(np.float32)
     velo_pts = vox_origin[None] + voxel_size * coords + voxel_size * 0.5
 
-    cam_pts = (VELO2CAM[:3, :3] @ velo_pts.T).T + VELO2CAM[:3, 3]
-    pix_x = np.round(cam_pts[:, 0] * CAM_K[0, 0] / cam_pts[:, 2] + CAM_K[0, 2]).astype(np.int64)
-    pix_y = np.round(cam_pts[:, 1] * CAM_K[1, 1] / cam_pts[:, 2] + CAM_K[1, 2]).astype(np.int64)
+    v2c, cam_k = calib.velo2cam, calib.cam_k
+    cam_pts = (v2c[:3, :3] @ velo_pts.T).T + v2c[:3, 3]
+    pix_x = np.round(cam_pts[:, 0] * cam_k[0, 0] / cam_pts[:, 2] + cam_k[0, 2]).astype(np.int64)
+    pix_y = np.round(cam_pts[:, 1] * cam_k[1, 1] / cam_pts[:, 2] + cam_k[1, 2]).astype(np.int64)
     pix_z = cam_pts[:, 2]
     fov_mask = (
-        (pix_x >= 0) & (pix_x < IMG_W) & (pix_y >= 0) & (pix_y < IMG_H) & (pix_z > 0)
+        (pix_x >= 0) & (pix_x < calib.img_w) & (pix_y >= 0) & (pix_y < calib.img_h) & (pix_z > 0)
     )
     return cam_pts.astype(np.float32), fov_mask
 
 
-def get_fov_mask():
-    _, m = generate_point_grid()
+def get_fov_mask(calib: Optional[SSCCalib] = None):
+    _, m = generate_point_grid(calib=calib)
     return m.reshape(256, 256, 32)
 
 
@@ -132,13 +175,16 @@ def grow_sigmas(sigmas):
     return out[0, 0]
 
 
-def make_grid_predictor(query_fn, chunk_points=128 * 128 * 32, grow=True):
+def make_grid_predictor(
+    query_fn, chunk_points=128 * 128 * 32, grow=True,
+    grid_dim=(256, 256, 32), voxel_size=VOXEL_SIZE,
+):
     """Build a jitted dense-grid predictor.
 
     query_fn(pts (1, P, 3)) -> (sigma (1, P), seg_probs (1, P, 19))
     (the `net.forward(pts, predict_segmentation=True)` contract).
-    Returns predict(pts (N, 3)) -> (sigmas (256,256,32), segs (256,256,32))
-    with alpha-weighted seg argmax (evaluate_model_sscbench.py:711-753).
+    Returns predict(pts (N, 3)) -> (sigmas grid_dim, segs grid_dim) with
+    alpha-weighted seg argmax (evaluate_model_sscbench.py:711-753).
     """
 
     def predict(pts):
@@ -150,13 +196,13 @@ def make_grid_predictor(query_fn, chunk_points=128 * 128 * 32, grow=True):
             sigma, seg = query_fn(block[None])
             sigma = sigma[0]
             seg = seg[0]
-            alphas = 1.0 - jnp.exp(-VOXEL_SIZE * sigma)
+            alphas = 1.0 - jnp.exp(-voxel_size * sigma)
             weighted = alphas[:, None] * seg
             return sigma, jnp.argmax(weighted, -1)
 
         sigmas, segs = jax.lax.map(eval_block, blocks)
-        sigmas = sigmas.reshape(256, 256, 32)
-        segs = segs.reshape(256, 256, 32)
+        sigmas = sigmas.reshape(grid_dim)
+        segs = segs.reshape(grid_dim)
         if grow:
             sigmas = grow_sigmas(sigmas)
         return sigmas, segs
@@ -195,6 +241,22 @@ def compute_occupancy_numbers_segmentation(y_pred, y_true, fov_mask):
     return tp, fp, tn, fn, conf
 
 
+def compute_occupancy_recall_segmentation(y_pred, y_true, fov_mask):
+    """Per-GT-class occupancy recall: of voxels whose GT is class c, how
+    many are predicted occupied at all (evaluate_model_sscbench.py:889-906).
+    Returns (tp (15,), total (15,))."""
+    mask = ((y_true != 255) & fov_mask).reshape(-1)
+    yp = y_pred.reshape(-1)[mask]
+    yt = y_true.reshape(-1)[mask]
+    n = N_LABELS - 1
+    tp = np.zeros(n)
+    total = np.zeros(n)
+    for lab in range(1, N_LABELS):
+        tp[lab - 1] = np.sum((yt == lab) & (yp > 0))
+        total[lab - 1] = np.sum(yt == lab)
+    return tp, total
+
+
 @dataclasses.dataclass
 class SSCAccumulator:
     """Running per-range stats (evaluate_model_sscbench.py:284-299)."""
@@ -205,6 +267,7 @@ class SSCAccumulator:
                 "tp": 0, "fp": 0, "tn": 0, "fn": 0,
                 "tp_seg": np.zeros(15), "fp_seg": np.zeros(15),
                 "tn_seg": np.zeros(15), "fn_seg": np.zeros(15),
+                "tp_recall_seg": np.zeros(15), "sum_recall_seg": np.zeros(15),
                 "confusion_seg": np.zeros((N_LABELS, N_LABELS)),
             }
             for size in SIZES
@@ -231,9 +294,11 @@ class SSCAccumulator:
             _segs, _target, _fov = segs[sl], target[sl], fov_mask[sl]
             tp, fp, tn, fn = compute_occupancy_numbers(_segs, _target, _fov)
             tps, fps, tns, fns, conf = compute_occupancy_numbers_segmentation(_segs, _target, _fov)
+            tpr, sumr = compute_occupancy_recall_segmentation(_segs, _target, _fov)
             r = self.results[size]
             r["tp"] += tp; r["fp"] += fp; r["tn"] += tn; r["fn"] += fn
             r["tp_seg"] += tps; r["fp_seg"] += fps; r["tn_seg"] += tns; r["fn_seg"] += fns
+            r["tp_recall_seg"] += tpr; r["sum_recall_seg"] += sumr
             r["confusion_seg"] += conf
 
     def summarize(self) -> Dict:
@@ -262,5 +327,7 @@ class SSCAccumulator:
                 "direct_miou": float(direct_iou.mean()),
                 "hungarian_per_class_iou": hung_iou,
                 "hungarian_miou": float(hung_iou.mean()),
+                "occupancy_recall_seg": r["tp_recall_seg"]
+                / np.maximum(r["sum_recall_seg"], 1),
             }
         return out

@@ -1,0 +1,74 @@
+"""SSC tooling: calib.txt parsing, per-class occupancy recall, and the
+grid predictor at non-default resolutions (PLY-sequence path)."""
+import numpy as np
+import pytest
+
+from scenedino_tpu.eval import sscbench as S
+
+
+def test_read_calib_default_matches_constants():
+    c = S.read_calib(None)
+    np.testing.assert_allclose(c.cam_k, S.CAM_K)
+    np.testing.assert_allclose(c.velo2cam, S.VELO2CAM)
+
+
+def test_read_calib_parses_semantic_kitti_format(tmp_path):
+    p2 = np.arange(12, dtype=np.float64) + 1
+    tr = np.linspace(0.1, 1.2, 12)
+    f = tmp_path / "calib.txt"
+    f.write_text(
+        "P2: " + " ".join(f"{v:.6f}" for v in p2) + "\n"
+        "Tr: " + " ".join(f"{v:.6f}" for v in tr) + "\n"
+    )
+    c = S.read_calib(str(f))
+    np.testing.assert_allclose(c.cam_k, p2.reshape(3, 4)[:3, :3], atol=1e-6)
+    np.testing.assert_allclose(c.velo2cam[:3, :4], tr.reshape(3, 4), atol=1e-6)
+    np.testing.assert_allclose(c.velo2cam[3], [0, 0, 0, 1])
+
+
+def test_occupancy_recall_segmentation():
+    # GT: class 1 at 4 voxels, class 2 at 2 voxels; pred occupies 3 of the
+    # class-1 voxels and none of class 2
+    y_true = np.array([1, 1, 1, 1, 2, 2, 0, 255])
+    y_pred = np.array([1, 5, 3, 0, 0, 0, 0, 9])
+    fov = np.ones_like(y_true, bool)
+    tp, total = S.compute_occupancy_recall_segmentation(y_pred, y_true, fov)
+    assert tp[0] == 3 and total[0] == 4
+    assert tp[1] == 0 and total[1] == 2
+
+
+def test_grid_predictor_custom_resolution():
+    import jax.numpy as jnp
+
+    vs = 0.8
+    pts, fov = S.generate_point_grid(voxel_size=vs)
+    dim = tuple(int(np.ceil(s / vs)) for s in S.SCENE_SIZE)
+    assert pts.shape[0] == np.prod(dim)
+
+    def query_fn(block):
+        sigma = jnp.linalg.norm(block, axis=-1) * 0.01
+        seg = jnp.ones((*block.shape[:2], 19))
+        return sigma, seg
+
+    chunk = int(np.prod(dim))
+    predict = S.make_grid_predictor(
+        query_fn, chunk_points=chunk, grow=False, grid_dim=dim, voxel_size=vs
+    )
+    sigmas, segs = predict(jnp.asarray(pts))
+    assert sigmas.shape == dim and segs.shape == dim
+    assert np.isfinite(np.asarray(sigmas)).all()
+
+
+def test_summarize_includes_recall_seg():
+    acc = S.SSCAccumulator()
+    sigmas = np.zeros((256, 256, 32), np.float32)
+    sigmas[:10, 120:136, :8] = 1.0
+    segs = np.full((256, 256, 32), 13)  # cityscapes car
+    gt = np.zeros((256, 256, 32), np.uint8)
+    gt[:10, 120:136, :8] = 1  # sscbench car
+    fov = np.ones((256, 256, 32), bool)
+    acc.add_frame(sigmas, segs, gt, fov, use_additional_invalids=False)
+    out = acc.summarize()
+    r = out[51.2]["occupancy_recall_seg"]
+    assert r.shape == (15,)
+    assert r[0] > 0  # car voxels predicted occupied
