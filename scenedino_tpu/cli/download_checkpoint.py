@@ -49,11 +49,11 @@ def main():
 
     sd = torch.load(ckpt_path, map_location="cpu")
     model_sd = sd["model"] if "model" in sd else sd
-    variant = CHECKPOINTS[args.name]["variant"]
+    # architecture metadata (vit depth / registers / layerscale / head
+    # blocks) is inferred from the key set; strict mode surfaces any
+    # schema drift instead of silently dropping weights
     converted = convert_scenedino_checkpoint(
-        {k: v.numpy() for k, v in model_sd.items()},
-        num_registers=0,
-        layerscale=variant == "dinov2",
+        {k: v.float().numpy() for k, v in model_sd.items()}, strict=True
     )
     out_dir = os.path.abspath(os.path.join(args.out, f"{args.name}-orbax"))
     save_checkpoint(out_dir, converted)

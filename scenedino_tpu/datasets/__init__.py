@@ -28,6 +28,7 @@ def make_datasets(config: dict) -> Tuple:
             fisheye_offset=config.get("fisheye_offset", (10,)),
             stereo_offset=config.get("stereo_offset", (1,)),
             color_aug=config.get("color_aug", False),
+            return_3d_bboxes=config.get("data_3d_bboxes", config.get("return_3d_bboxes", False)),
         )
         train = KITTI360Dataset(split_path=config.get("split_path"), **common)
         test = KITTI360Dataset(split_path=config.get("test_split_path"), **{**common, "color_aug": False})

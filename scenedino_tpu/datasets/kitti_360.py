@@ -70,6 +70,67 @@ def grid_sample_np(img: np.ndarray, xy: np.ndarray, align_corners=True) -> np.nd
     return out
 
 
+# ----------------------------------------------------- color augmentation
+def sample_color_aug_fn(rng: np.random.RandomState):
+    """Numpy twin of torchvision ColorJitter.get_params + get_color_aug_fn
+    (old_kitti_360.py:945-953, common/augmentation.py): brightness /
+    contrast / saturation in [0.8, 1.2], hue in [-0.1, 0.1], applied in a
+    random order; one draw shared by every view of a sample. Operates on
+    float RGB images in [0, 1] (H, W, 3)."""
+    order = rng.permutation(4)
+    b = rng.uniform(0.8, 1.2)
+    c = rng.uniform(0.8, 1.2)
+    s = rng.uniform(0.8, 1.2)
+    h = rng.uniform(-0.1, 0.1)
+
+    def gray(img):  # Rec.601 luma like torchvision rgb_to_grayscale
+        return img @ np.array([0.299, 0.587, 0.114], img.dtype)
+
+    def adjust_hue(img, factor):
+        # RGB -> HSV hue shift -> RGB (torchvision F.adjust_hue semantics)
+        r, g_, b_ = img[..., 0], img[..., 1], img[..., 2]
+        maxc = img.max(-1)
+        minc = img.min(-1)
+        v = maxc
+        d = maxc - minc
+        sat = np.where(maxc > 0, d / np.maximum(maxc, 1e-12), 0.0)
+        dn = np.maximum(d, 1e-12)
+        rc, gc, bc = (maxc - r) / dn, (maxc - g_) / dn, (maxc - b_) / dn
+        hue = np.where(maxc == r, bc - gc, np.where(maxc == g_, 2.0 + rc - bc, 4.0 + gc - rc))
+        hue = (hue / 6.0) % 1.0
+        hue = np.where(d == 0, 0.0, hue)
+        hue = (hue + factor) % 1.0
+        i = np.floor(hue * 6.0)
+        f = hue * 6.0 - i
+        p = v * (1.0 - sat)
+        q = v * (1.0 - sat * f)
+        t = v * (1.0 - sat * (1.0 - f))
+        i = (i.astype(np.int64) % 6)[..., None]
+        out = np.select(
+            [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+            [np.stack([v, t, p], -1), np.stack([q, v, p], -1), np.stack([p, v, t], -1),
+             np.stack([p, q, v], -1), np.stack([t, p, v], -1), np.stack([v, p, q], -1)],
+        )
+        return out
+
+    def fn(img):
+        img = np.asarray(img, np.float32)
+        for fid in order:
+            if fid == 0:
+                img = np.clip(img * b, 0.0, 1.0)
+            elif fid == 1:
+                mean = gray(img).mean()
+                img = np.clip(c * img + (1.0 - c) * mean, 0.0, 1.0)
+            elif fid == 2:
+                g2 = gray(img)[..., None]
+                img = np.clip(s * img + (1.0 - s) * g2, 0.0, 1.0)
+            else:
+                img = np.clip(adjust_hue(img, h), 0.0, 1.0)
+        return img.astype(np.float32)
+
+    return fn
+
+
 # ------------------------------------------------------- fisheye resampler
 class FisheyeToPinholeSampler:
     """Precomputed MEI-model warp grid (old_kitti_360.py:24-82).
@@ -237,6 +298,7 @@ class KITTI360Dataset:
     fisheye_offset: Sequence[int] = (10,)
     stereo_offset: Sequence[int] = (1,)
     color_aug: bool = False
+    return_3d_bboxes: bool = False
     seed: int = 0
 
     def __post_init__(self):
@@ -272,6 +334,11 @@ class KITTI360Dataset:
         else:
             self._datapoints = self._full_split()
         self.length = len(self._datapoints)
+        self._3d_bboxes = None
+        if self.return_3d_bboxes:
+            from scenedino_tpu.datasets.annotations import load_sequence_bboxes
+
+            self._3d_bboxes = load_sequence_bboxes(self.data_path, self._sequences)
 
     @staticmethod
     def _get_sequences(data_path) -> List[str]:
@@ -318,12 +385,14 @@ class KITTI360Dataset:
         folder = self._perspective_folder if cam in ("00", "01") else self._fisheye_folder
         return Path(self.data_path) / "data_2d_raw" / seq / f"image_{cam}" / folder / f"{img_id:010d}.png"
 
-    def _load_and_process(self, seq, cam, img_id, resampler=None):
+    def _load_and_process(self, seq, cam, img_id, resampler=None, color_aug_fn=None):
         img = _imread(self._img_path(seq, cam, img_id))
         if resampler is not None:
             img = resampler.resample(img)
         elif img.shape[:2] != tuple(self.target_image_size):
             img = _resize_bilinear_np(img, self.target_image_size)
+        if color_aug_fn is not None:  # applied in [0,1] like process_img (:762-763)
+            img = color_aug_fn(img)
         img = img * 2.0 - 1.0  # [-1, 1]
         return img.transpose(2, 0, 1).astype(np.float32)  # (3, H, W)
 
@@ -387,10 +456,11 @@ class KITTI360Dataset:
         if not self.return_fisheye:
             ids_fish, img_ids_fish = [], []
 
-        imgs_p_left = [self._load_and_process(seq, "00", i) for i in img_ids]
-        imgs_p_right = [self._load_and_process(seq, "01", i) for i in img_ids]
-        imgs_f_left = [self._load_and_process(seq, "02", i, self._resampler_02) for i in img_ids_fish]
-        imgs_f_right = [self._load_and_process(seq, "03", i, self._resampler_03) for i in img_ids_fish]
+        aug = sample_color_aug_fn(self._rng) if self.color_aug else None
+        imgs_p_left = [self._load_and_process(seq, "00", i, color_aug_fn=aug) for i in img_ids]
+        imgs_p_right = [self._load_and_process(seq, "01", i, color_aug_fn=aug) for i in img_ids]
+        imgs_f_left = [self._load_and_process(seq, "02", i, self._resampler_02, aug) for i in img_ids_fish]
+        imgs_f_right = [self._load_and_process(seq, "03", i, self._resampler_03, aug) for i in img_ids_fish]
 
         T = self._calibs["T_cam_to_pose"]
         poses_p_left = [self._poses[seq][i] @ T["00"] for i in ids]
@@ -420,4 +490,10 @@ class KITTI360Dataset:
             data["depths"] = self.load_depth(seq, img_ids[0], is_right)[None]
         if self.return_segmentation:
             data["segs"] = self.load_segmentation(seq, img_ids[0])
+        if self.return_3d_bboxes:
+            from scenedino_tpu.datasets.annotations import get_3d_bboxes
+
+            data["3d_bboxes"] = [
+                get_3d_bboxes(self._3d_bboxes[seq], img_ids[0], poses[0], projs[0])
+            ]
         return data

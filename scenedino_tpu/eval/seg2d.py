@@ -39,6 +39,10 @@ class Seg2DEvaluator:
     chunk: int = 15360
     n_classes: int = 19
     modes: tuple = MODES
+    # optional dense-CRF refinement (semantic_head.py:224-240: one-hot of
+    # the predicted labels as unary, rendered rgb as the appearance image,
+    # "<mode>_crf" result rows). Off in shipped configs (apply_crf=False).
+    apply_crf: bool = False
 
     def __post_init__(self):
         H, W = self.image_size
@@ -62,14 +66,28 @@ class Seg2DEvaluator:
                 mode: self.head.apply(head_variables, dino768, mode=mode).reshape(H, W)
                 for mode in self.modes
             }
+            if self.apply_crf:
+                from scenedino_tpu.eval.crf import dense_crf
+
+                rgb = out["coarse"]["rgb"].reshape(H, W, -1)[..., :3] * 0.5 + 0.5
+                for mode in self.modes:
+                    onehot = jax.nn.one_hot(preds[mode], self.n_classes)
+                    probs = dense_crf(rgb, onehot)
+                    preds[mode + "_crf"] = jnp.argmax(probs, -1)
             preds["depth"] = out["coarse"]["depth"].reshape(H, W)
             return preds
 
         self._predict = jax.jit(predict)
 
+    @property
+    def result_modes(self):
+        if self.apply_crf:
+            return tuple(self.modes) + tuple(m + "_crf" for m in self.modes)
+        return tuple(self.modes)
+
     def run(self, dataset: Iterable, max_frames: Optional[int] = None) -> Dict:
         """Accumulate confusions over a dataset of seg2d samples."""
-        conf = {m: np.zeros((self.n_classes, self.n_classes), np.int64) for m in self.modes}
+        conf = {m: np.zeros((self.n_classes, self.n_classes), np.int64) for m in self.result_modes}
         n = 0
         for i, sample in enumerate(dataset):
             if max_frames is not None and i >= max_frames:
@@ -82,14 +100,14 @@ class Seg2DEvaluator:
                 self.field_params, self.head_variables, imgs, projs, poses,
                 jax.random.PRNGKey(i),
             )
-            for m in self.modes:
+            for m in self.result_modes:
                 conf[m] += np.asarray(
                     seg_confusion_matrix(jnp.asarray(target), preds[m], self.n_classes)
                 )
             n += 1
 
         results = {}
-        for m in self.modes:
+        for m in self.result_modes:
             assign = "kmeans" in m  # cluster heads need pseudo matching
             results[m] = evaluate_confusion(conf[m], assign_pseudo=assign)
         results["n_frames"] = n

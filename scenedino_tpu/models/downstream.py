@@ -12,9 +12,10 @@ TPU redesign:
     threaded through the (pure) train step, not module-mutable buffers.
   * k-means++ init is an explicit keyed call (`init_cluster_centers`);
     the reference does it lazily on the first training batch.
-  * CRF post-processing is intentionally a host-side optional (the
-    reference wraps pydensecrf, a compiled third-party lib; see
-    scenedino_tpu/eval/crf.py).
+  * CRF post-processing is a jittable truncated-window mean-field pass
+    (scenedino_tpu/eval/crf.py; the reference wraps pydensecrf, a
+    CPU-only compiled lib) applied by the 2D evaluator when
+    apply_crf=True (off in shipped configs).
 """
 from __future__ import annotations
 

@@ -279,7 +279,10 @@ class SceneField(nn.Module):
         if self.cfg.predict_dino and not has_enc_warmup:
             _ = self.expand_dim(out[3])
         if self.downstream is not None:
-            _ = self.query_segmentation(state, xyz)
+            # touch every prediction head so the init tree covers the full
+            # checkpoint schema (stego/direct x kmeans/linear)
+            for mode in ("stego_kmeans", "stego_linear", "direct_kmeans", "direct_linear"):
+                _ = self.query_segmentation(state, xyz, mode=mode)
         return state
 
     def expand_dim(self, features):
