@@ -1,45 +1,46 @@
-"""Benchmark: single-image SceneDINO inference throughput on real TPU.
+"""Benchmark: SceneDINO inference throughput on the real TPU chip.
 
-Measures the flagship path (ViT-B/8 encode @192x640 + full-frame
-volume render of depth + 64-d feature map, 32 samples/ray) and reports
-rays/sec/chip. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Measures, with HONEST device timing (iterations chained inside one jitted
+program, scalar fetch as the clock edge — see
+scenedino_tpu/utils/benchmarking.py; the axon tunnel defers execution, so
+dispatch-loop timing is meaningless):
 
-vs_baseline: the reference measures (but does not publish) per-frame
-inference time (evaluate_model_sscbench.py:350-363). We use an estimated
-A100 PyTorch reference of ~2.0 frames/sec for the same workload
-(BASELINE.md: no published number; north star is 10x) and report the ratio.
+  1. novel-view full-frame inference (encode + render a DIFFERENT camera,
+     ids_render != ids_encoder) — the stage-1 / NVS hot path and the
+     HEADLINE metric,
+  2. encode-view full-frame inference (the demo / 2D-eval path, zero-
+     gather special case),
+  3. the SSC dense 2M-voxel sigma+feature query (evaluate_model_sscbench
+     grid pass, per frame, excluding encode).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline: the reference measures but does not publish per-frame
+inference time (evaluate_model_sscbench.py:350-363); the denominator is
+an ESTIMATED 2.0 frames/s for A100 PyTorch (BASELINE.md has no published
+number; the north star is 10x) — labeled as an estimate in the output.
 """
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+import jax.numpy as jnp
 
+from scenedino_tpu.utils.benchmarking import device_time
 from scenedino_tpu.utils.jax_setup import enable_compilation_cache
 
 enable_compilation_cache()
 
+H, W, K = 192, 640, 32
 
-def build_fast_fn():
-    """Flagship inference on the folded-head fast path (exact math,
-    bf16 grids; see scenedino_tpu/ops/fast_field.py)."""
-    import jax.numpy as jnp
 
+def build():
     from __graft_entry__ import _flagship
-    from scenedino_tpu.core.ray_sampler import ImageRaySampler
     from scenedino_tpu.models.field import SceneField
-    from scenedino_tpu.ops.fast_field import build_fast_state, fast_query
-    from scenedino_tpu.renderer.nerf import RenderConfig, render_rays_chunked
 
-    H, W = 192, 640
-    # bf16 encoder compute (params fp32): halves DPT conv activation traffic
     field = _flagship((H, W), dtype=jnp.bfloat16)
-    rcfg = RenderConfig(n_coarse=32)
-    sampler = ImageRaySampler(3.0, 80.0, height=H, width=W)
     key = jax.random.PRNGKey(0)
     imgs = jax.random.uniform(key, (1, 1, 3, H, W), jnp.float32) * 2 - 1
     poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
@@ -49,56 +50,96 @@ def build_fast_fn():
     params = field.init(
         {"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup
     )
-    cfg = field.cfg
-
-    from scenedino_tpu.ops.fast_field import render_encode_view
-
-    def fn(params, imgs, projs, poses):
-        state = field.apply(
-            params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode
-        )
-        fs = build_fast_state(params, state, cfg)
-        # demo/eval renders the encode camera's own view: zero-gather path
-        depth, dino, rgb = render_encode_view(
-            fs, cfg, H, W, jax.random.PRNGKey(0), n_coarse=rcfg.n_coarse
-        )
-        return depth, dino
-
-    return fn, (params, imgs, projs, poses)
+    return field, params, imgs, projs, poses
 
 
 def main():
-    fn, args = build_fast_fn()
-    jfn = jax.jit(fn)
+    import numpy as np
 
-    # warmup / compile
-    out = jfn(*args)
-    jax.block_until_ready(out)
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.ops.fast_field import (
+        build_fast_state,
+        fast_query,
+        render_encode_view,
+        render_novel_view,
+    )
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    field, params, imgs, projs, poses = build()
+    cfg = field.cfg
 
-    H, W, K = 192, 640, 32
-    rays_per_img = H * W
-    rays_per_sec = rays_per_img / dt
-    imgs_per_sec = 1.0 / dt
+    # novel camera: 0.3 m right, 0.1 m up, 3 deg yaw — a stereo/fisheye-like
+    # offset (ids_render != ids_encoder geometry)
+    c, s = np.cos(0.05), np.sin(0.05)
+    novel_pose = jnp.asarray(
+        np.array(
+            [[c, 0, s, 0.3], [0, 1, 0, -0.1], [-s, 0, c, 0.0], [0, 0, 0, 1]],
+            np.float32,
+        )
+    )
 
-    baseline_imgs_per_sec = 2.0  # estimated A100 torch single-image SSC fwd
+    def novel_step(params, imgs, projs, poses, salt):
+        im = imgs + (salt * 1e-30).astype(imgs.dtype)
+        state = field.apply(
+            params, im, projs, poses, ids_encoder=(0,), method=SceneField.encode
+        )
+        fs = build_fast_state(params, state, cfg)
+        return render_novel_view(
+            fs, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0), n_coarse=K
+        )
+
+    dt_novel = device_time(novel_step, params, imgs, projs, poses, iters=8)
+
+    def encview_step(params, imgs, projs, poses, salt):
+        im = imgs + (salt * 1e-30).astype(imgs.dtype)
+        state = field.apply(
+            params, im, projs, poses, ids_encoder=(0,), method=SceneField.encode
+        )
+        fs = build_fast_state(params, state, cfg)
+        return render_encode_view(fs, cfg, H, W, jax.random.PRNGKey(0), n_coarse=K)
+
+    dt_enc = device_time(encview_step, params, imgs, projs, poses, iters=8)
+
+    # SSC dense grid query: 256x256x32 voxels in coherent (z, x, y) order
+    from scenedino_tpu.eval import sscbench as S
+
+    pts, _ = S.generate_point_grid()
+    pts = pts.reshape(256, 256, 32, 3).transpose(2, 0, 1, 3).reshape(1, -1, 3)
+    pts = jnp.asarray(pts)
+    state0 = field.apply(
+        params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode
+    )
+    fs0 = build_fast_state(params, state0, cfg)
+
+    def ssc_step(fs, pts, salt):
+        p = pts + (salt * 1e-30).astype(pts.dtype)
+        _, _, sigma, dino = fast_query(fs, cfg, p, only_density=True, segments=256)
+        return sigma, dino
+
+    dt_ssc = device_time(ssc_step, fs0, pts, iters=6)
+
+    rays = H * W
+    baseline_imgs_per_sec = 2.0  # ESTIMATE: A100 torch single-image SSC fwd
     print(
         json.dumps(
             {
-                "metric": "single_image_inference_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
+                "metric": "novel_view_inference_rays_per_sec_per_chip",
+                "value": round(rays / dt_novel, 1),
                 "unit": "rays/s/chip",
-                "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 3),
+                "vs_baseline": round(1.0 / dt_novel / baseline_imgs_per_sec, 3),
                 "detail": {
-                    "imgs_per_sec": round(imgs_per_sec, 3),
-                    "ms_per_image": round(dt * 1e3, 2),
+                    "baseline_note": "vs ESTIMATED 2.0 img/s A100 torch (no published number)",
+                    "novel_view": {
+                        "imgs_per_sec": round(1.0 / dt_novel, 3),
+                        "ms_per_image": round(dt_novel * 1e3, 2),
+                    },
+                    "encode_view": {
+                        "rays_per_sec": round(rays / dt_enc, 1),
+                        "imgs_per_sec": round(1.0 / dt_enc, 3),
+                        "ms_per_image": round(dt_enc * 1e3, 2),
+                    },
+                    "ssc_2M_voxel_query_ms": round(dt_ssc * 1e3, 2),
                     "samples_per_ray": K,
+                    "timing": "chained-in-jit device time (see utils/benchmarking.py)",
                     "device": str(jax.devices()[0]),
                 },
             }

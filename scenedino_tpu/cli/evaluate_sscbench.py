@@ -31,6 +31,7 @@ def main():
     )
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--calib", default=None, help="semantic-KITTI-style calib.txt (defaults to the SSCBench-KITTI-360 release values)")
+    ap.add_argument("--slow", action="store_true", help="use the unfolded full-field query path (reference semantics bit-path; ~10x slower)")
     args = ap.parse_args()
 
     import jax
@@ -72,28 +73,47 @@ def main():
     fov3 = fov_mask.reshape(256, 256, 32)
     pts_j = jnp.asarray(pts)
 
+    from scenedino_tpu.ops.fast_field import build_fast_state, fast_query
+
+    fast = not args.slow
+
     @jax.jit
     def encode(variables, imgs, projs, poses):
         poses = jnp.linalg.inv(poses[:, :1]) @ poses
-        return field.apply(
+        state = field.apply(
             variables, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
             method=SceneField.encode,
         )
+        if fast:
+            return build_fast_state(variables, state, field.cfg)
+        return state
 
     state_holder = {}
 
     def query_fn(block):
         # net.forward(pts, predict_segmentation=True) (bts.py:553-593)
-        dino_full, sigma, seg = field.apply(
-            state_holder["vars"], state_holder["state"], block,
-            mode=args.prediction_mode, method=SceneField.query_segmentation,
-        )
+        if fast:
+            # folded-head density/feature query through the banded gather
+            # (exact up to bf16; blocks arrive in coherent (z, x, y) order)
+            _, _, sigma, dino = fast_query(
+                state_holder["state"], field.cfg, block,
+                only_density=True, segments=64,
+            )
+            _, seg = field.apply(
+                state_holder["vars"], dino,
+                mode=args.prediction_mode, method=SceneField.segment_features,
+            )
+        else:
+            _, sigma, seg = field.apply(
+                state_holder["vars"], state_holder["state"], block,
+                mode=args.prediction_mode, method=SceneField.query_segmentation,
+            )
         if seg is None:
             raise RuntimeError("checkpoint has no downstream head")
         seg19 = jax.nn.one_hot(seg, 19)
         return sigma, seg19
 
-    predict = S.make_grid_predictor(query_fn)
+    predict = S.make_grid_predictor(query_fn, coherent=fast)
     acc = S.SSCAccumulator()
 
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))

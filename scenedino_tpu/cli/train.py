@@ -169,6 +169,8 @@ def run_stage1(config):
         log_every=tconf.get("log_every", 100),
         stop_iteration=tconf.get("stop_iteration"),
         resume=tconf.get("continue", False),
+        profile_start=tconf.get("profile_start"),
+        profile_stop=tconf.get("profile_stop"),
     )
     validators = build_validators(
         config, "nvs", dataset=val_ds or train_ds, batch_size=batch_size,
@@ -294,6 +296,8 @@ def run_stage2(config):
         checkpoint_every=config.get("training", {}).get("checkpoint_every", 5000),
         log_every=config.get("training", {}).get("log_every", 100),
         stop_iteration=config.get("training", {}).get("stop_iteration"),
+        profile_start=config.get("training", {}).get("profile_start"),
+        profile_stop=config.get("training", {}).get("profile_stop"),
     )
 
     def data_iter():

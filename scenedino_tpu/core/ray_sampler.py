@@ -20,16 +20,20 @@ import jax.numpy as jnp
 from scenedino_tpu.core import rays as rays_mod
 
 
-def build_frame_rays(poses_c2w, ks, z_near, z_far, height, width, frame_ids=None):
+def build_frame_rays(poses_c2w, ks, z_near, z_far, height, width, frame_ids=None, xy_offset=None):
     """Full-frame rays with id + xy channels for a batch of views.
 
     poses_c2w: (V, 4, 4); ks: (V, 3, 3) normalized. Returns (V, H, W, 11).
     frame_ids: optional (V,) float ids appended at slot 8 (defaults 0..V-1).
+    xy_offset: optional (2,) sub-pixel shift in pixel units — shifts the
+    actual unprojected directions (util.py:113-158), not just the stored xy.
     """
     V = poses_c2w.shape[0]
     focals = jnp.stack([ks[:, 0, 0], ks[:, 1, 1]], -1)
     centers = jnp.stack([ks[:, 0, 2], ks[:, 1, 2]], -1)
-    r, xy = rays_mod.gen_rays(poses_c2w, width, height, z_near, z_far, focals, c=centers)
+    r, xy = rays_mod.gen_rays(
+        poses_c2w, width, height, z_near, z_far, focals, c=centers, xy_offset=xy_offset
+    )
     if frame_ids is None:
         frame_ids = jnp.arange(V, dtype=r.dtype)
     ids = jnp.broadcast_to(frame_ids[:, None, None, None], (V, height, width, 1))
@@ -127,25 +131,61 @@ class PatchRaySampler:
 
 @dataclasses.dataclass(frozen=True)
 class JitteredPatchRaySampler(PatchRaySampler):
-    """Patch sampling with a sub-pixel ray jitter (JitteredPatchRaySampler,
-    ray_sampler.py:610-700): ray directions get a uniform offset within the
-    pixel so training sees continuous image coordinates."""
+    """Patch sampling with a global sub-pixel jitter (JitteredPatchRaySampler,
+    ray_sampler.py:610-700): ONE uniform offset in [-j/2, j/2] pixels per
+    call shifts the actual unprojected ray directions (via gen_rays'
+    xy_offset), and the rgb ground truth is bilinearly resampled at the
+    jittered pixel coordinates — training sees continuous image positions.
+    Patches are free-floating (randint over pixels, not grid-snapped), and
+    there is no per-patch dino_gt, exactly like the reference class."""
 
-    jitter_scale: float = 1.0
+    jitter_scale: float = 1.0  # "jitter_strength" in pixels, [0, 1)
 
     def sample(self, key, images, poses_c2w, ks, frame_ids=None, dino_features=None, grid_shift=None):
-        k_patch, k_jit = jax.random.split(key)
-        rays, rgb_gt, dino_gt = super().sample(
-            k_patch, images, poses_c2w, ks, frame_ids, dino_features, grid_shift
-        )
-        H, W = images.shape[-2:]
-        # jitter the direction by up to half a pixel in NDC
-        jit = (jax.random.uniform(k_jit, (*rays.shape[:2], 2)) - 0.5) * self.jitter_scale
-        jit = jit * jnp.array([2.0 / W, 2.0 / H])
-        # rays: [o(3), d(3), near, far, id, x, y]; shift the stored xy and
-        # re-tilt the direction in the image plane approximation
-        rays = rays.at[..., 9:11].add(jit)
-        return rays, rgb_gt, dino_gt
+        from scenedino_tpu.core.grid_sample import grid_sample_2d_hwc
+
+        B, V, C, H, W = images.shape
+        P = self.patch_size
+        PC = self.patch_count
+        k_jit, k_v, k_y, k_x = jax.random.split(key, 4)
+        # one offset per call, shared across batch/patches (ray_sampler.py:639)
+        xy_offset = (jax.random.uniform(k_jit, (2,)) - 0.5) * self.jitter_scale
+
+        pv = jax.random.randint(k_v, (B, PC), 0, V)
+        py = jax.random.randint(k_y, (B, PC), 0, H - P)
+        px = jax.random.randint(k_x, (B, PC), 0, W - P)
+
+        oy = jnp.arange(P)[:, None]
+        ox = jnp.arange(P)[None, :]
+        yy = py[..., None, None] + oy[None, None]  # (B, PC, P, P)
+        xx = px[..., None, None] + ox[None, None]
+        flat = (pv[..., None, None] * H + yy) * W + xx
+        flat = flat.reshape(B, -1)
+
+        # jittered NDC sample coordinates for the rgb ground truth
+        # (patch_grid construction, ray_sampler.py:676-681)
+        gx = (xx + xy_offset[0] + 0.5) / W * 2 - 1
+        gy = (yy + xy_offset[1] + 0.5) / H * 2 - 1
+        gx, gy = jnp.broadcast_arrays(gx, gy)  # (B, PC, P, P)
+        gxy = jnp.stack([gx, gy], -1).reshape(B, PC * P * P, 2)
+
+        def per_item(img, pose, k, idx, sxy, v_idx):
+            fr = build_frame_rays(
+                pose, k, self.z_near, self.z_far, H, W, frame_ids, xy_offset=xy_offset
+            )
+            fr = fr.reshape(V * H * W, -1)
+            rays_sel = jnp.take(fr, idx, axis=0)
+            # bilinear rgb at the jittered coords of each ray's view
+            imgs_hwc = img.transpose(0, 2, 3, 1)  # (V, H, W, C)
+            per_view = jax.vmap(lambda im: grid_sample_2d_hwc(im, sxy))(imgs_hwc)
+            v_per_ray = jnp.repeat(v_idx, P * P, axis=0)
+            rgb = jnp.take_along_axis(
+                per_view, v_per_ray[None, :, None], axis=0
+            )[0]
+            return rays_sel, rgb
+
+        rays_out, rgb_gt = jax.vmap(per_item)(images, poses_c2w, ks, flat, gxy, pv)
+        return rays_out, rgb_gt, None
 
 
 @dataclasses.dataclass(frozen=True)

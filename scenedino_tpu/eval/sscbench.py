@@ -177,7 +177,7 @@ def grow_sigmas(sigmas):
 
 def make_grid_predictor(
     query_fn, chunk_points=128 * 128 * 32, grow=True,
-    grid_dim=(256, 256, 32), voxel_size=VOXEL_SIZE,
+    grid_dim=(256, 256, 32), voxel_size=VOXEL_SIZE, coherent=True,
 ):
     """Build a jitted dense-grid predictor.
 
@@ -185,11 +185,19 @@ def make_grid_predictor(
     (the `net.forward(pts, predict_segmentation=True)` contract).
     Returns predict(pts (N, 3)) -> (sigmas grid_dim, segs grid_dim) with
     alpha-weighted seg argmax (evaluate_model_sscbench.py:711-753).
+
+    coherent=True feeds the voxels in (z, depth, lateral) order — fixed
+    height and depth rows project to near-horizontal image bands, which is
+    what the banded gather in the fast query path needs — and transposes
+    the results back (static reshapes, not gathers). Semantics identical.
     """
+    X, Y, Z = grid_dim
 
     def predict(pts):
         N = pts.shape[0]
         assert N % chunk_points == 0
+        if coherent:
+            pts = pts.reshape(X, Y, Z, 3).transpose(2, 0, 1, 3).reshape(N, 3)
         blocks = pts.reshape(-1, chunk_points, 3)
 
         def eval_block(block):
@@ -201,8 +209,12 @@ def make_grid_predictor(
             return sigma, jnp.argmax(weighted, -1)
 
         sigmas, segs = jax.lax.map(eval_block, blocks)
-        sigmas = sigmas.reshape(grid_dim)
-        segs = segs.reshape(grid_dim)
+        if coherent:
+            sigmas = sigmas.reshape(Z, X, Y).transpose(1, 2, 0)
+            segs = segs.reshape(Z, X, Y).transpose(1, 2, 0)
+        else:
+            sigmas = sigmas.reshape(grid_dim)
+            segs = segs.reshape(grid_dim)
         if grow:
             sigmas = grow_sigmas(sigmas)
         return sigmas, segs

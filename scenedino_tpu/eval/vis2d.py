@@ -90,6 +90,52 @@ def get_alpha_profile(weights: np.ndarray) -> np.ndarray:
     return colormap(ent)
 
 
+def get_reconstruction_rmse(rgb: np.ndarray, rgb_gt: np.ndarray) -> np.ndarray:
+    """Per-pixel rgb RMSE heat map (vis_2d.py:99-118)."""
+    err = np.sqrt(np.mean((np.asarray(rgb) - np.asarray(rgb_gt)) ** 2, axis=-1))
+    return colormap(err / max(float(err.max()), 1e-6))
+
+
+def get_dino_cos_sim(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Cosine similarity between rendered and teacher features
+    (vis_2d.py:121-131); green = aligned."""
+    p = np.asarray(pred, np.float64)
+    g = np.asarray(gt, np.float64)
+    p = p / np.maximum(np.linalg.norm(p, axis=-1, keepdims=True), 1e-9)
+    g = g / np.maximum(np.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+    sim = np.clip((p * g).sum(-1) * 0.5 + 0.5, 0, 1)
+    return colormap(sim)
+
+
+def get_invalids(invalid: np.ndarray) -> np.ndarray:
+    """Mean invalid fraction per pixel (vis_2d.py:307-316)."""
+    inv = np.asarray(invalid, np.float32)
+    while inv.ndim > 2:
+        inv = inv.mean(-1)
+    return colormap(inv)
+
+
+def get_ray_entropy(weights: np.ndarray, z_samps: Optional[np.ndarray] = None) -> np.ndarray:
+    """Termination-distribution entropy from alphas/weights
+    (vis_2d.py:319-348)."""
+    return get_alpha_profile(weights)
+
+
+def get_alpha_sum(weights: np.ndarray) -> np.ndarray:
+    """Total ray opacity Σ_k w_k (vis_2d.py:351-361); dark = transparent."""
+    s = np.clip(np.asarray(weights, np.float32).sum(-1), 0, 1)
+    return colormap(s)
+
+
+def get_depth_profile(z_samps: np.ndarray, weights: np.ndarray, row: Optional[int] = None) -> np.ndarray:
+    """Weights along one image row as a (K, W) heat image
+    (vis_2d.py:289-304): x = column, y = sample index, color = weight."""
+    w = np.asarray(weights, np.float32)  # (H, W, K)
+    r = w.shape[0] // 2 if row is None else row
+    prof = w[r].T  # (K, W)
+    return colormap(prof / max(float(prof.max()), 1e-6))
+
+
 def tb_visualize(data: Dict[str, np.ndarray], z_near=3.0, z_far=80.0) -> Dict[str, np.ndarray]:
     """Build the standard panel dict from render outputs (vis_2d.py:457-515
     dispatch)."""
@@ -100,13 +146,23 @@ def tb_visualize(data: Dict[str, np.ndarray], z_near=3.0, z_far=80.0) -> Dict[st
         out["depth"] = get_depth(data["depth"], z_near, z_far)
     if "rgb" in data:
         out["reconstruction"] = get_reconstruction(data["rgb"])
+        if "rgb_gt" in data:
+            out["reconstruction_rmse"] = get_reconstruction_rmse(data["rgb"], data["rgb_gt"])
     if "dino_features" in data:
         out["dino_pca"] = get_dino_pca(data["dino_features"])
         out["dino_kmeans"] = get_kmeans_map(data["dino_features"])
+        if "dino_gt" in data:
+            out["dino_cos_sim"] = get_dino_cos_sim(data["dino_features"], data["dino_gt"])
+            out["dino_gt_pca"] = get_dino_pca(data["dino_gt"])
     if "segs_pred" in data:
         out["segmentation"] = get_segmentation(data["segs_pred"])
     if "segs_gt" in data:
         out["segmentation_gt"] = get_segmentation(data["segs_gt"])
+    if "invalid" in data:
+        out["invalids"] = get_invalids(data["invalid"])
     if "weights" in data:
         out["weight_entropy"] = get_alpha_profile(data["weights"])
+        out["alpha_sum"] = get_alpha_sum(data["weights"])
+        if "z_samps" in data:
+            out["depth_profile"] = get_depth_profile(data["z_samps"], data["weights"])
     return out

@@ -304,6 +304,16 @@ class SceneField(nn.Module):
             seg = self.downstream(dino_full, mode=mode)
         return dino_full, sigma, seg
 
+    def segment_features(self, dino: jnp.ndarray, mode: str = "stego_kmeans"):
+        """Downstream tail of query_segmentation for precomputed 64-d field
+        features (the fast SSC voxel path queries sigma/dino via
+        ops/fast_field.fast_query, then runs this under apply)."""
+        dino_full = self.encoder.expand_dim(dino)
+        seg = None
+        if self.downstream is not None:
+            seg = self.downstream(dino_full, mode=mode)
+        return dino_full, seg
+
 
 def _shift_pad_crop(imgs, shift, pad=8):
     """Edge-pad by 8 then crop with an (i, j) offset — the DINO patch-grid

@@ -201,11 +201,132 @@ def render_encode_view(
     return depth, dino, rgb
 
 
-def fast_query(fs: FastFieldState, cfg: FieldConfig, xyz: jnp.ndarray, only_density: bool = False):
+def render_novel_view(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    target_pose_c2w: jnp.ndarray,  # (4, 4) cam2world of the NOVEL camera
+    target_k: jnp.ndarray,  # (3, 3) normalized intrinsics
+    height: int,
+    width: int,
+    key,
+    n_coarse: int = 32,
+    lindisp: bool = True,
+    hard_alpha_cap: bool = True,
+    band: int = 32,
+    want_rgb: bool = True,
+):
+    """Full-frame render of an ARBITRARY camera (ids_render != ids_encoder).
+
+    The stage-1/NVS hot path (bts.py:271-328 inside nerf.py:230-449). The
+    gather-bound pixel-aligned lookup runs through the banded packed-quad
+    gather (ops/tile_gather.py): sample points are laid out
+    (target_row, depth_sample, target_col) so each target row's points —
+    across ALL depth samples — hit a narrow horizontal band of the source
+    feature grid (vertical parallax is small for driving-style motion;
+    incoherent geometry falls back per-segment, exactly).
+
+    Returns (depth (H, W), dino (H, W, d_out-1), rgb (H, W, 3) | None).
+    """
+    from scenedino_tpu.core import compositing as C
+    from scenedino_tpu.core import rays as rays_mod
+    from scenedino_tpu.core import sampling as S
+    from scenedino_tpu.ops.tile_gather import (
+        bilinear_gather_packed_banded,
+        pack_quads,
+    )
+
+    B, V = fs.folded_grid.shape[:2]
+    assert B == 1 and V == 1, "novel-view fast render expects 1 encode view"
+    K = n_coarse
+    r, _ = rays_mod.rays_from_k(
+        target_pose_c2w[None], target_k[None], width, height, cfg.z_near, cfg.z_far
+    )
+    flat = r.reshape(-1, 8)  # (R, 8) row-major target pixels
+    # mirror render_rays' key split so both paths draw identical strata
+    k_coarse = jax.random.split(key, 4)[0]
+    z = S.sample_coarse(k_coarse, flat, K, lindisp)  # (R, K)
+
+    pts = flat[:, None, :3] + z[..., None] * flat[:, None, 3:6]  # (R, K, 3)
+    # (row, sample, col) ordering -> y-coherent gather segments
+    pts_hkw = pts.reshape(height, width, K, 3).transpose(0, 2, 1, 3)
+    p_flat = pts_hkw.reshape(1, -1, 3)  # (1, P, 3), P = H*K*W
+
+    xy, zc, dist, _ = cameras.project_points(p_flat, fs.feat_w2c, fs.feat_ks)
+    coords = encoding.encode_coords(
+        xy.astype(jnp.float32), zc.astype(jnp.float32), dist.astype(jnp.float32),
+        cfg.z_near, cfg.z_far, mode=cfg.code_mode, inv_z=cfg.inv_z,
+    )
+    code = encoding.positional_encoding(
+        coords, cfg.num_freqs, cfg.freq_factor, cfg.include_input
+    )[0, 0]  # (P, code_dims)
+
+    g2d = fs.folded_grid[0, 0]  # (Hg, Wg, D)
+    Hg, Wg, D = g2d.shape
+    packed = pack_quads(g2d)
+    px = (xy[0, 0, :, 0] + 1.0) * 0.5 * Wg - 0.5
+    py = (xy[0, 0, :, 1] + 1.0) * 0.5 * Hg - 0.5
+    sampled = bilinear_gather_packed_banded(
+        packed, Hg, Wg, px, py, segments=height, band=band
+    )  # (P, D)
+
+    h = (
+        sampled.astype(jnp.float32)
+        + jnp.einsum(
+            "pc,cd->pd", code.astype(fs.w_code.dtype), fs.w_code,
+            preferred_element_type=jnp.float32,
+        )
+        + fs.b1
+    )
+    h = jax.nn.relu(h)
+    out = (
+        jnp.einsum("pd,de->pe", h.astype(fs.w2.dtype), fs.w2,
+                   preferred_element_type=jnp.float32)
+        + fs.b2
+    )
+    sigma = out[..., 0].reshape(height, K, width)
+    sigma = jax.nn.softplus(sigma.transpose(0, 2, 1).reshape(-1, K))  # (R, K)
+    comp = C.composite_rays(sigma, z, hard_alpha_cap)
+    depth = comp.depth.reshape(height, width)
+
+    dino = out[..., 1:].reshape(height, K, width, -1)
+    w_hwk = comp.weights.reshape(height, width, K)
+    dino_out = jnp.einsum("hwk,hkwd->hwd", w_hwk, dino)
+
+    rgb_out = None
+    if want_rgb:
+        # colors from the first render view through the same packed gather
+        img = fs.color_imgs[0, 0]  # (Hc, Wc, 3)
+        Hc, Wc = img.shape[:2]
+        xy_c, _, _, _ = cameras.project_points(p_flat, fs.color_w2c[:, :1], fs.color_ks[:, :1])
+        cx = (xy_c[0, 0, :, 0] + 1.0) * 0.5 * Wc - 0.5
+        cy = (xy_c[0, 0, :, 1] + 1.0) * 0.5 * Hc - 0.5
+        packed_rgb = pack_quads(img)
+        rgb_s = bilinear_gather_packed_banded(
+            packed_rgb, Hc, Wc, cx, cy, segments=height, band=band
+        )  # (P, 3)
+        rgb_k = rgb_s.reshape(height, K, width, 3).astype(jnp.float32)
+        rgb_out = jnp.einsum("hwk,hkwd->hwd", w_hwk, rgb_k)
+    return depth, dino_out, rgb_out
+
+
+def fast_query(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    xyz: jnp.ndarray,
+    only_density: bool = False,
+    segments: Optional[int] = None,
+    band: int = 32,
+):
     """Drop-in replacement for SceneField.__call__ on the fast state.
 
     xyz: (B, P, 3) -> (rgb, invalid, sigma, dino) with the same shapes and
     semantics as the full field (bts.py:476-595, single encode view).
+
+    segments: if given (and B == V == 1), route the feature lookup through
+    the banded packed-quad gather (ops/tile_gather.py) — ~10x faster when
+    consecutive points are image-row coherent (e.g. the SSC voxel grid in
+    (z, depth, lateral) order); exact for any ordering via the
+    per-segment fallback.
     """
     B, P, _ = xyz.shape
     xy, z, dist, invalid_f = cameras.project_points(xyz, fs.feat_w2c, fs.feat_ks)
@@ -215,7 +336,22 @@ def fast_query(fs: FastFieldState, cfg: FieldConfig, xyz: jnp.ndarray, only_dens
     )
     code = encoding.positional_encoding(coords, cfg.num_freqs, cfg.freq_factor, cfg.include_input)
 
-    sampled = grid_sample.grid_sample_views_hwc(fs.folded_grid, xy)  # (B, V, P, d_hidden)
+    if segments is not None and B == 1 and fs.folded_grid.shape[1] == 1:
+        from scenedino_tpu.ops.tile_gather import (
+            bilinear_gather_packed_banded,
+            pack_quads,
+        )
+
+        g2d = fs.folded_grid[0, 0]
+        Hg, Wg, _ = g2d.shape
+        packed = pack_quads(g2d)
+        px = (xy[0, 0, :, 0] + 1.0) * 0.5 * Wg - 0.5
+        py = (xy[0, 0, :, 1] + 1.0) * 0.5 * Hg - 0.5
+        sampled = bilinear_gather_packed_banded(
+            packed, Hg, Wg, px, py, segments=segments, band=band
+        )[None, None]  # (1, 1, P, d_hidden)
+    else:
+        sampled = grid_sample.grid_sample_views_hwc(fs.folded_grid, xy)  # (B, V, P, d_hidden)
     h = (
         sampled.astype(jnp.float32)
         + jnp.einsum(

@@ -36,6 +36,11 @@ class LoopConfig:
     validate_every: int = 10000
     stop_iteration: Optional[int] = None  # resume-test hook (base_trainer.py:150-156)
     resume: bool = False
+    # capture a jax.profiler trace for iterations [start, stop) into
+    # <output_path>/profile — the TPU counterpart of the reference's
+    # torch.autograd record_function spans (SURVEY §5 tracing/profiling)
+    profile_start: Optional[int] = None
+    profile_stop: Optional[int] = None
 
 
 class MetricLogger:
@@ -209,14 +214,26 @@ def fit(
     it = int(np.asarray(state.step))
     best: Dict[str, float] = {}
     t_data = t_step = 0.0
+    profiling = False
     try:
         for epoch in range(cfg.num_epochs):
             t0 = time.perf_counter()
             for batch in data_iter_fn():
                 t_data += time.perf_counter() - t0
+                if cfg.profile_start is not None and it == cfg.profile_start and not profiling:
+                    jax.profiler.start_trace(os.path.join(cfg.output_path, "profile"))
+                    profiling = True
                 key, sub = jax.random.split(key)
                 state, losses = train_step(state, batch, sub)
                 it += 1
+                if profiling and cfg.profile_stop is not None and it >= cfg.profile_stop:
+                    jax.tree_util.tree_map(
+                        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+                        losses,
+                    )
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to %s/profile", cfg.output_path)
 
                 if it % cfg.log_every == 0:
                     losses = jax.device_get(losses)
@@ -251,5 +268,7 @@ def fit(
                 if steps_per_epoch and it % steps_per_epoch == 0:
                     break
     finally:
+        if profiling:
+            jax.profiler.stop_trace()
         tb.close()
     return state

@@ -46,3 +46,53 @@ def test_fast_query_matches_field():
     _, _, sigma3, _ = fast_query(fsb, cfg, xyz)
     rel = np.abs(np.asarray(sigma3) - np.asarray(sigma)) / (np.abs(np.asarray(sigma)) + 1e-3)
     assert rel.max() < 0.1, rel.max()
+
+
+def test_render_novel_view_matches_generic_path():
+    """render_novel_view == render_rays over fast_query with identical
+    stratified samples (same key-split), fp32, novel camera."""
+    from scenedino_tpu.ops.fast_field import render_novel_view
+    from scenedino_tpu.renderer.nerf import RenderConfig, render_rays
+
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3)
+    )
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    # novel target camera: shifted + slightly rotated
+    c, s = np.cos(0.05), np.sin(0.05)
+    rot = jnp.asarray(np.array([[c, 0, s, 0.2], [0, 1, 0, -0.1], [-s, 0, c, 0.1], [0, 0, 0, 1]], np.float32))
+    tgt_k = projs[0, 0]
+
+    n_coarse = 8
+    rkey = jax.random.PRNGKey(7)
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        depth, dino, rgb = render_novel_view(
+            fs, cfg, rot, tgt_k, H, W, rkey, n_coarse=n_coarse, band=8
+        )
+
+        # reference: generic renderer over the SAME folded field
+        from scenedino_tpu.core.ray_sampler import ImageRaySampler
+
+        sampler = ImageRaySampler(cfg.z_near, cfg.z_far, height=H, width=W)
+        rays = sampler.sample(None, rot[None, None], tgt_k[None, None])
+        out = render_rays(
+            lambda xyz, only_density=False: fast_query(fs, cfg, xyz, only_density),
+            rays[..., :8], rkey, RenderConfig(n_coarse=n_coarse),
+        )
+    ref_depth = np.asarray(out["coarse"]["depth"]).reshape(H, W)
+    ref_dino = np.asarray(out["coarse"]["dino_features"]).reshape(H, W, -1)
+    ref_rgb = np.asarray(out["coarse"]["rgb"]).reshape(H, W, -1)[..., :3]
+
+    assert np.allclose(np.asarray(depth), ref_depth, atol=1e-3), np.abs(np.asarray(depth) - ref_depth).max()
+    assert np.allclose(np.asarray(dino), ref_dino, atol=1e-3), np.abs(np.asarray(dino) - ref_dino).max()
+    assert np.allclose(np.asarray(rgb), ref_rgb, atol=1e-3), np.abs(np.asarray(rgb) - ref_rgb).max()

@@ -80,15 +80,23 @@ def test_image_processors():
 
 def test_vis2d_builders():
     H, W = 8, 16
+    rng = np.random.RandomState(0)
     data = {
         "imgs": np.zeros((2, 3, H, W), np.float32),
         "depth": np.full((H, W), 10.0, np.float32),
-        "rgb": np.random.RandomState(0).rand(H, W, 3).astype(np.float32),
+        "rgb": rng.rand(H, W, 3).astype(np.float32),
+        "rgb_gt": rng.rand(H, W, 3).astype(np.float32),
+        "dino_features": rng.rand(H, W, 6).astype(np.float32),
+        "dino_gt": rng.rand(H, W, 6).astype(np.float32),
         "segs_pred": np.zeros((H, W), np.int64),
-        "weights": np.random.RandomState(1).rand(H, W, 8).astype(np.float32),
+        "invalid": rng.rand(H, W, 8, 1).astype(np.float32),
+        "weights": rng.rand(H, W, 8).astype(np.float32),
+        "z_samps": rng.rand(H, W, 8).astype(np.float32),
     }
     panels = tb_visualize(data)
-    for k in ("input_imgs", "depth", "reconstruction", "segmentation", "weight_entropy"):
+    for k in ("input_imgs", "depth", "reconstruction", "segmentation", "weight_entropy",
+              "reconstruction_rmse", "dino_cos_sim", "dino_gt_pca", "invalids",
+              "alpha_sum", "depth_profile"):
         assert k in panels
         assert panels[k].shape[-1] == 3
         assert np.all(panels[k] >= 0) and np.all(panels[k] <= 1 + 1e-6)
@@ -106,6 +114,20 @@ def test_jittered_patch_sampler():
     rays, rgb, _ = s.sample(key, imgs, poses, ks)
     assert rays.shape == (1, 64, 11)
     assert rgb.shape == (1, 64, 3)
+
+    # the jitter must move the actual unprojected DIRECTIONS, not just the
+    # stored xy channels (reference jitters via gen_rays xy_offset,
+    # ray_sampler.py:639-652). Same patch draw, different jitter -> the
+    # direction of the same ray differs.
+    rays_a, rgb_a, _ = s.sample(jax.random.PRNGKey(1), imgs, poses, ks)
+    s0 = JitteredPatchRaySampler(3.0, 80.0, ray_batch_size=64, patch_size=4, jitter_scale=0.0)
+    rays_0, rgb_0, _ = s0.sample(jax.random.PRNGKey(1), imgs, poses, ks)
+    # same key => same patches; nonzero jitter changes directions
+    d = np.abs(np.asarray(rays_a[..., 3:6]) - np.asarray(rays_0[..., 3:6])).max()
+    assert d > 1e-5, "jitter did not move ray directions"
+    # directions stay unit-norm
+    nrm = np.linalg.norm(np.asarray(rays_a[..., 3:6]), axis=-1)
+    np.testing.assert_allclose(nrm, 1.0, atol=1e-5)
 
 
 def test_orbax_checkpoint_roundtrip():
