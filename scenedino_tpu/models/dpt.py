@@ -117,6 +117,42 @@ class DPTHead(nn.Module):
         return [out.transpose(0, 3, 1, 2)]  # back to NCHW
 
 
+class SimpleFeaturePyramidDecoder(nn.Module):
+    """ConvTranspose pyramid from the LAST ViT feature map + monodepth2
+    skip decoder (decoder.py:36-73). Alternative to the DPT head
+    (decoder_arch: "simple-feature-pyramid")."""
+
+    latent_size: int = 768
+    num_ch_enc: Tuple[int, ...] = (64, 64, 128, 256, 512)
+    num_ch_dec: Tuple[int, ...] = (128, 128, 256, 256, 512)
+    d_out: int = 64
+    scales: Tuple[int, ...] = (0,)
+    use_skips: bool = True
+
+    @nn.compact
+    def __call__(self, inputs):
+        from scenedino_tpu.models.monodepth2 import Monodepth2Decoder
+
+        x = inputs[-1].transpose(0, 2, 3, 1)  # NHWC patch grid
+        ch = self.num_ch_enc
+        feats = [
+            nn.ConvTranspose(ch[0], (8, 8), strides=(8, 8), name="resize_0")(x),
+            nn.ConvTranspose(ch[1], (4, 4), strides=(4, 4), name="resize_1")(x),
+            nn.ConvTranspose(ch[2], (2, 2), strides=(2, 2), name="resize_2")(x),
+            nn.Conv(ch[3], (3, 3), padding=((1, 1), (1, 1)), name="resize_3")(x),
+            nn.Conv(ch[4], (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name="resize_4")(x),
+        ]
+        dec = Monodepth2Decoder(
+            num_ch_enc=tuple(ch),
+            num_ch_dec=tuple(max(self.d_out, c) for c in self.num_ch_dec),
+            d_out=self.d_out,
+            scales=tuple(self.scales),
+            use_skips=self.use_skips,
+        )
+        outs = dec(feats)
+        return [outs[s].transpose(0, 3, 1, 2) for s in self.scales]
+
+
 class NoDecoder(nn.Module):
     """Interpolate patch grid to image size + L2-normalize (decoder.py:8-33)."""
 

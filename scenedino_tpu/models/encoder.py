@@ -49,6 +49,9 @@ def _vit_name(backbone: str, version: str) -> str:
         return f"dinov2_{size}"
     if version == "reg":
         return f"dinov2_reg_{size}"
+    if version == "fit3d":
+        # FiT3D = fine-tuned DINOv2-reg (dinov2_module.py:291-311)
+        return f"fit3d_{size}"
     raise NotImplementedError(version)
 
 
@@ -72,7 +75,7 @@ class DinoViTEncoder(nn.Module):
 
     @property
     def patch_size(self) -> int:
-        return 16 if self.version in ("v2", "reg", "v1_16") else 8
+        return 16 if self.version in ("v2", "reg", "fit3d", "v1_16") else 8
 
     @property
     def latent_size(self) -> int:
@@ -86,7 +89,7 @@ class DinoViTEncoder(nn.Module):
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
         x = normalize_input(x)
-        if self.version in ("v2", "reg"):
+        if self.version in ("v2", "reg", "fit3d"):
             H, W = x.shape[-2:]
             nh, nw = H * 14 // 16, W * 14 // 16
             x = jax.image.resize(x, (*x.shape[:2], nh, nw), method="bilinear")
@@ -264,7 +267,7 @@ class DinoModule(nn.Module):
         Plain property (not setup state) so it is readable on the unbound
         module, e.g. by the trainer for shift/sampler grid sizing."""
         v = self.cfg.separate_gt_version or self.cfg.version
-        return 16 if v in ("v2", "reg", "v1_16") else 8
+        return 16 if v in ("v2", "reg", "fit3d", "v1_16") else 8
 
     def setup(self):
         c = self.cfg
@@ -282,6 +285,18 @@ class DinoModule(nn.Module):
             self.decoder = DPTHead(post_process_channels=tuple(c.num_ch_enc), d_out=c.decoder_out_dim, dtype=c.dtype)
         elif c.decoder_arch in ("nearest", "bilinear", "bicubic"):
             self.decoder = NoDecoder(image_size=c.image_size, interpolation=c.decoder_arch)
+        elif c.decoder_arch == "spf":
+            from scenedino_tpu.models.dpt import SimpleFeaturePyramidDecoder
+
+            # dinov2_module.py:37-47: fixed dec widths, 4 scales, skips on
+            self.decoder = SimpleFeaturePyramidDecoder(
+                latent_size=self.vit_encoder.latent_size,
+                num_ch_enc=tuple(c.num_ch_enc),
+                num_ch_dec=(128, 128, 256, 256, 512),
+                d_out=c.decoder_out_dim,
+                scales=(0, 1, 2, 3),
+                use_skips=True,
+            )
         else:
             raise NotImplementedError(c.decoder_arch)
 

@@ -41,6 +41,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     num_registers: int = 0  # 4 for DINOv2-reg
     layerscale: bool = False  # True for DINOv2
+    class_token: bool = True  # False for Self-Patch / I-JEPA (vit.py:503-591)
     ln_eps: float = 1e-6
     pos_embed_size: Tuple[int, int] = (224, 224)  # grid the stored pos-embed was trained at
     intermediate_layers: Tuple[int, ...] = (3, 6, 9)
@@ -50,8 +51,14 @@ class ViTConfig:
     remat: bool = False
 
     @property
+    def num_pos_prefix_tokens(self) -> int:
+        """Prefix tokens COVERED by the stored pos-embed (cls only; timm
+        registers carry no positional code)."""
+        return 1 if self.class_token else 0
+
+    @property
     def num_prefix_tokens(self) -> int:
-        return 1 + self.num_registers
+        return (1 if self.class_token else 0) + self.num_registers
 
 
 VIT_PRESETS = {
@@ -64,6 +71,22 @@ VIT_PRESETS = {
     "dinov2_base": ViTConfig(14, 768, 12, 12, layerscale=True, pos_embed_size=(518, 518)),
     "dinov2_reg_small": ViTConfig(14, 384, 12, 6, num_registers=4, layerscale=True, pos_embed_size=(518, 518)),
     "dinov2_reg_base": ViTConfig(14, 768, 12, 12, num_registers=4, layerscale=True, pos_embed_size=(518, 518)),
+    # FiT3D fine-tuned DINOv2-reg (dinov2_module.py:291-311 loads
+    # ywyue/FiT3D dinov2_reg_{small,base}_fine): same architecture as
+    # dinov2-reg, different weights.
+    "fit3d_small": ViTConfig(14, 384, 12, 6, num_registers=4, layerscale=True, pos_embed_size=(518, 518)),
+    "fit3d_base": ViTConfig(14, 768, 12, 12, num_registers=4, layerscale=True, pos_embed_size=(518, 518)),
+    # SSL ablation zoo (reference vit.py:192-591). All standard pre-LN timm
+    # ViTs; they differ only in weights + (for Self-Patch / I-JEPA) the
+    # absence of a class token, and (vMAE/I-JEPA) non-timm checkpoint
+    # schemas handled by utils/checkpoint.adapt_ssl_state_dict.
+    "mae_base": ViTConfig(16, 768, 12, 12),  # vit.py:192-206
+    "vmae_large": ViTConfig(16, 1024, 24, 16),  # vit.py:208-263
+    "synclr_base": ViTConfig(16, 768, 12, 12),  # vit.py:405-432
+    "mocov3_base": ViTConfig(16, 768, 12, 12),  # vit.py:435-466
+    "msn_base": ViTConfig(16, 768, 12, 12),  # vit.py:469-500
+    "self_patch_small": ViTConfig(16, 384, 12, 6, class_token=False),  # vit.py:503-544
+    "i_jepa_huge": ViTConfig(14, 1280, 32, 16, class_token=False),  # vit.py:547-591
 }
 
 
@@ -178,28 +201,33 @@ class VisionTransformer(nn.Module):
         x = nn.Conv(cfg.width, (P, P), strides=(P, P), padding="VALID", dtype=cfg.dtype, name="patch_embed")(x)
         x = x.reshape(B, n_patches, cfg.width)
 
-        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.width))
-        tokens = [jnp.broadcast_to(cls_token, (B, 1, cfg.width))]
+        tokens = []
+        if cfg.class_token:
+            cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.width))
+            tokens.append(jnp.broadcast_to(cls_token, (B, 1, cfg.width)))
         if cfg.num_registers > 0:
             reg = self.param("reg_token", nn.initializers.zeros, (1, cfg.num_registers, cfg.width))
             tokens.append(jnp.broadcast_to(reg, (B, cfg.num_registers, cfg.width)))
         x = jnp.concatenate(tokens + [x], axis=1)
 
         grid0 = (cfg.pos_embed_size[0] // P, cfg.pos_embed_size[1] // P)
-        # timm stores pos_embed for [cls, patches] only — registers carry no
-        # positional code (they are concatenated after the pos-add).
+        # timm stores pos_embed for [cls?, patches] only — registers carry no
+        # positional code (they are concatenated after the pos-add). Models
+        # without a class token (Self-Patch, I-JEPA) store patches only
+        # (ref vit.py num_additional_tokens=0).
+        Tp = cfg.num_pos_prefix_tokens
         pos = self.param(
             "pos_embed",
             nn.initializers.normal(0.02),
-            (1, 1 + grid0[0] * grid0[1], cfg.width),
+            (1, Tp + grid0[0] * grid0[1], cfg.width),
         )
         # DINOv2 (timm) adds pos-embed to patch tokens and cls but NOT registers;
         # timm implements this by concatenating registers after pos-add when
         # pos_embed covers 1+N. We follow timm: interpolate over the patch grid
-        # and add to [cls, patches]; registers get no positional code.
-        pos_i = interpolate_pos_embed(pos, grid0, (gh, gw), num_prefix_tokens=1)
+        # and add to [cls?, patches]; registers get no positional code.
+        pos_i = interpolate_pos_embed(pos, grid0, (gh, gw), num_prefix_tokens=Tp)
         if cfg.num_registers > 0:
-            cls_pos, patch_pos = pos_i[:, :1], pos_i[:, 1:]
+            cls_pos, patch_pos = pos_i[:, :Tp], pos_i[:, Tp:]
             zeros = jnp.zeros((1, cfg.num_registers, cfg.width), pos_i.dtype)
             pos_i = jnp.concatenate([cls_pos, zeros, patch_pos], axis=1)
         x = x + pos_i

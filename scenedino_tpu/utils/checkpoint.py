@@ -73,11 +73,12 @@ def layernorm(sd, prefix):
     return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
 
 
-def convert_vit(sd, prefix, depth=12, num_registers=0, layerscale=False):
+def convert_vit(sd, prefix, depth=12, num_registers=0, layerscale=False, class_token=True):
     """timm DINO/DINOv2 ViT state dict -> our VisionTransformer params."""
     p: Dict[str, Any] = {}
     p["patch_embed"] = conv2d(sd, f"{prefix}.patch_embed.proj")
-    p["cls_token"] = _t(sd[f"{prefix}.cls_token"])
+    if class_token:
+        p["cls_token"] = _t(sd[f"{prefix}.cls_token"])
     if num_registers:
         key = f"{prefix}.reg_token" if f"{prefix}.reg_token" in sd else f"{prefix}.register_tokens"
         p["reg_token"] = _t(sd[key])
@@ -99,6 +100,71 @@ def convert_vit(sd, prefix, depth=12, num_registers=0, layerscale=False):
         p[f"blocks_{i}"] = blk
     p["norm"] = layernorm(sd, f"{prefix}.norm")
     return p
+
+
+def adapt_ssl_state_dict(kind: str, sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize a published SSL-ViT checkpoint to the timm key layout.
+
+    Mirrors the per-model checkpoint surgery in the reference zoo
+    (vit.py:192-591): prefix strips, encoder selection, and the video-MAE
+    q/k/v + pos-embed folds. Input: the RAW loaded dict (already unwrapped
+    from its 'model'/'state_dict'/... envelope). Output: timm-layout keys
+    ("patch_embed.proj.*", "blocks.{i}.*", ...) ready for `convert_vit`.
+    """
+    import numpy as np  # noqa: F811 (works on torch tensors via __array__)
+
+    if kind in ("mae_base",):  # timm .mae checkpoint: already timm layout
+        return dict(sd)
+    if kind in ("synclr_base",):  # vit.py:420 strip module.visual.
+        return {k[len("module.visual."):]: v for k, v in sd.items() if k.startswith("module.visual.")}
+    if kind in ("mocov3_base",):  # vit.py:449-453 momentum encoder, no head
+        pre = "module.momentum_encoder."
+        return {k[len(pre):]: v for k, v in sd.items() if k.startswith(pre) and "head." not in k}
+    if kind in ("msn_base", "self_patch_small", "i_jepa_huge"):
+        # vit.py:485-488, 528-530, 575: strip module., drop fc/head extras
+        out = {}
+        for k, v in sd.items():
+            k = k[len("module."):] if k.startswith("module.") else k
+            if k.startswith(("fc.", "head.", "fc_norm.")):
+                continue
+            out[k] = v
+        return out
+    if kind in ("vmae_large",):
+        # vit.py:219-246: fold spatial+temporal pos embeds, collapse the
+        # tubelet time axis of patch_embed, concat separate q/k/v -> qkv.
+        out = {k: v for k, v in sd.items() if not k.startswith(("pos_embed_", "patch_embed.proj"))}
+        spatial = np.asarray(sd["pos_embed_spatial"])
+        temporal = np.asarray(sd["pos_embed_temporal"]).mean(axis=1, keepdims=True)
+        pos = spatial + temporal
+        out["pos_embed"] = np.concatenate([np.asarray(sd["pos_embed_class"]), pos], axis=1)
+        out["patch_embed.proj.weight"] = np.asarray(sd["patch_embed.proj.weight"])[:, :, 0]
+        if "patch_embed.proj.bias" in sd:
+            out["patch_embed.proj.bias"] = np.asarray(sd["patch_embed.proj.bias"])
+        depth = 1 + max(
+            int(m.group(1)) for m in (re.match(r"blocks\.(\d+)\.", k) for k in sd) if m
+        )
+        for i in range(depth):
+            b = f"blocks.{i}.attn"
+            for suffix in ("weight", "bias"):
+                if f"{b}.q.{suffix}" in out:
+                    out[f"{b}.qkv.{suffix}"] = np.concatenate(
+                        [np.asarray(out.pop(f"{b}.{n}.{suffix}")) for n in ("q", "k", "v")], axis=0
+                    )
+        return out
+    raise NotImplementedError(kind)
+
+
+def convert_ssl_vit(kind: str, raw_sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Published SSL checkpoint -> our VisionTransformer params for the
+    `VIT_PRESETS[kind]` architecture (models/vit.py)."""
+    from scenedino_tpu.models.vit import VIT_PRESETS
+
+    cfg = VIT_PRESETS[kind]
+    sd = {f"vit.{k}": v for k, v in adapt_ssl_state_dict(kind, raw_sd).items()}
+    return convert_vit(
+        sd, "vit", depth=cfg.depth, num_registers=cfg.num_registers,
+        layerscale=cfg.layerscale, class_token=cfg.class_token,
+    )
 
 
 def convert_dpt(sd, prefix, n_levels=4):

@@ -96,3 +96,26 @@ def test_render_novel_view_matches_generic_path():
     assert np.allclose(np.asarray(depth), ref_depth, atol=1e-3), np.abs(np.asarray(depth) - ref_depth).max()
     assert np.allclose(np.asarray(dino), ref_dino, atol=1e-3), np.abs(np.asarray(dino) - ref_dino).max()
     assert np.allclose(np.asarray(rgb), ref_rgb, atol=1e-3), np.abs(np.asarray(rgb) - ref_rgb).max()
+
+
+def test_fast_query_banded_matches_default():
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+    key = jax.random.PRNGKey(3)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3))
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    xyz = jnp.concatenate(
+        [jax.random.uniform(key, (1, 128, 2)) * 4 - 2,
+         jax.random.uniform(key, (1, 128, 1)) * 40 + 4], -1)
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        _, inv_a, sig_a, dino_a = fast_query(fs, cfg, xyz, only_density=True)
+        _, inv_b, sig_b, dino_b = fast_query(fs, cfg, xyz, only_density=True, segments=8, band=8)
+    np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dino_a), np.asarray(dino_b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(inv_a), np.asarray(inv_b))

@@ -243,3 +243,113 @@ def test_dpt_parity():
     out = dpt.apply({"params": p}, [jnp.array(f) for f in feats])[0]
     assert out.shape == ref.shape
     assert np.allclose(np.asarray(out), ref, atol=1e-4), np.abs(np.asarray(out) - ref).max()
+
+
+# ------------------------------------------------- SSL zoo (vit.py:192-591)
+class TorchViTNoCls(tnn.Module):
+    """timm ViT with class_token=False (Self-Patch / I-JEPA layout)."""
+
+    def __init__(self, patch=8, dim=32, depth=2, heads=2, img=(16, 16)):
+        super().__init__()
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, dim, patch, patch)
+        n = (img[0] // patch) * (img[1] // patch)
+        self.pos_embed = tnn.Parameter(torch.randn(1, n, dim) * 0.02)
+        self.blocks = tnn.ModuleList([TorchBlock(dim, heads) for _ in range(depth)])
+        self.norm = tnn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        return self.norm(x)
+
+
+def test_vit_no_class_token_parity():
+    """class_token=False path (Self-Patch vit.py:503-544, I-JEPA :547-591)."""
+    torch.manual_seed(7)
+    tvit = TorchViTNoCls(patch=8, dim=32, depth=2, heads=2, img=(16, 24))
+    sd = {f"m.{k}": v.detach().numpy() for k, v in tvit.state_dict().items()}
+    sd = {
+        k.replace("attn_qkv", "attn.qkv").replace("attn_proj", "attn.proj")
+        .replace("mlp_fc1", "mlp.fc1").replace("mlp_fc2", "mlp.fc2"): v
+        for k, v in sd.items()
+    }
+    params = {"params": CK.convert_vit(sd, "m", depth=2, class_token=False)}
+    cfg = ViTConfig(patch_size=8, width=32, depth=2, num_heads=2, class_token=False,
+                    pos_embed_size=(16, 24), intermediate_layers=(0,))
+    vit = VisionTransformer(cfg=cfg, want_key_features=False)
+    x = np.random.RandomState(1).rand(2, 3, 16, 24).astype(np.float32)
+    with torch.no_grad():
+        t_out = tvit(torch.tensor(x))
+    t_feats = tF.normalize(t_out, p=2, dim=2).numpy()
+    out = vit.apply(params, jnp.array(x))
+    assert out["features_normalized"].shape == t_feats.shape
+    assert np.allclose(np.asarray(out["features_normalized"]), t_feats, atol=2e-5)
+
+
+def test_adapt_vmae_state_dict():
+    """vMAE surgery: pos-embed fold, tubelet collapse, q/k/v concat
+    (vit.py:219-246)."""
+    rs = np.random.RandomState(2)
+    dim, n = 8, 6
+    raw = {
+        "pos_embed_spatial": rs.rand(1, n, dim).astype(np.float32),
+        "pos_embed_temporal": rs.rand(1, 4, dim).astype(np.float32),
+        "pos_embed_class": rs.rand(1, 1, dim).astype(np.float32),
+        "patch_embed.proj.weight": rs.rand(dim, 3, 2, 4, 4).astype(np.float32),
+        "patch_embed.proj.bias": rs.rand(dim).astype(np.float32),
+    }
+    for i in range(2):
+        for name in ("q", "k", "v"):
+            raw[f"blocks.{i}.attn.{name}.weight"] = rs.rand(dim, dim).astype(np.float32)
+            raw[f"blocks.{i}.attn.{name}.bias"] = rs.rand(dim).astype(np.float32)
+    sd = CK.adapt_ssl_state_dict("vmae_large", raw)
+    expect_pos = raw["pos_embed_spatial"] + raw["pos_embed_temporal"].mean(1, keepdims=True)
+    assert np.allclose(sd["pos_embed"][:, 1:], expect_pos)
+    assert np.allclose(sd["pos_embed"][:, :1], raw["pos_embed_class"])
+    assert sd["patch_embed.proj.weight"].shape == (dim, 3, 4, 4)
+    np.testing.assert_allclose(
+        sd["blocks.0.attn.qkv.weight"],
+        np.concatenate([raw[f"blocks.0.attn.{m}.weight"] for m in "qkv"], 0),
+    )
+    assert "blocks.0.attn.q.weight" not in sd
+
+
+def test_adapt_prefix_strip_state_dicts():
+    """SynCLR / MoCo-v3 / MSN prefix handling (vit.py:420,449-453,485-488)."""
+    w = np.zeros((2, 2), np.float32)
+    synclr = CK.adapt_ssl_state_dict("synclr_base", {"module.visual.norm.weight": w, "module.other.x": w})
+    assert list(synclr) == ["norm.weight"]
+    moco = CK.adapt_ssl_state_dict(
+        "mocov3_base",
+        {"module.momentum_encoder.norm.weight": w, "module.momentum_encoder.head.0.weight": w,
+         "module.base_encoder.norm.weight": w},
+    )
+    assert list(moco) == ["norm.weight"]
+    msn = CK.adapt_ssl_state_dict("msn_base", {"module.norm.weight": w, "module.fc.weight": w})
+    assert list(msn) == ["norm.weight"]
+
+
+def test_ssl_presets_forward_smoke():
+    """Zoo presets build and run (shrunk dims); fit3d routes like dinov2-reg."""
+    from scenedino_tpu.models.vit import make_vit
+
+    for name in ("self_patch_small", "i_jepa_huge", "mae_base", "vmae_large"):
+        vit = make_vit(name, intermediate_layers=(0,),
+                       overrides={"width": 16, "depth": 2, "num_heads": 2, "patch_size": 8})
+        x = jnp.zeros((1, 3, 16, 24))
+        out = vit.apply(vit.init(jax.random.PRNGKey(0), x), x)
+        assert out["features_normalized"].shape == (1, 2 * 3, 16)
+
+    from scenedino_tpu.models.encoder import DinoViTEncoder
+
+    enc = DinoViTEncoder(backbone="vit-s", version="fit3d", image_size=(32, 32),
+                         intermediate_features=(0,),
+                         vit_overrides=(("width", 16), ("depth", 2), ("num_heads", 2)))
+    assert enc.patch_size == 16
+    x = jnp.zeros((1, 3, 32, 32))
+    outs = enc.apply(enc.init(jax.random.PRNGKey(0), x), x)
+    # 14/16 resize -> 28x28 input, patch 14 -> 2x2 grid
+    assert outs[-1].shape == (1, 16, 2, 2)

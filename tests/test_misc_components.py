@@ -140,3 +140,21 @@ def test_orbax_checkpoint_roundtrip():
         restored = load_checkpoint(path, target=tree)
         assert np.allclose(np.asarray(restored["a"]), np.asarray(tree["a"]))
         assert np.allclose(np.asarray(restored["b"]["c"]), 1.0)
+
+
+def test_simple_feature_pyramid_decoder():
+    from scenedino_tpu.models.dpt import SimpleFeaturePyramidDecoder
+
+    dec = SimpleFeaturePyramidDecoder(
+        latent_size=16, num_ch_enc=(4, 4, 8, 8, 8), num_ch_dec=(4, 4, 8, 8, 8),
+        d_out=6, scales=(0, 1), use_skips=True,
+    )
+    x = [jnp.zeros((1, 16, 4, 8))]  # (B, C, Gh, Gw) patch grid
+    params = dec.init(jax.random.PRNGKey(0), x)
+    outs = dec.apply(params, x)
+    assert len(outs) == 2
+    # the decoder's scale 0 upsamples one level past the finest pyramid
+    # feature (8x patch grid), i.e. 16x the patch grid = image res for
+    # patch-16 ViTs (monodepth2 disp-0 semantics)
+    assert outs[0].shape == (1, 6, 64, 128)
+    assert outs[1].shape == (1, 6, 32, 64)
