@@ -68,10 +68,12 @@ def cosine_error(pred, gt, axis=-1, eps=1e-8):
     return 1.0 - jnp.sum(pn * gn, axis=axis)
 
 
-def invalid_mask(invalids, weights, policy="weight_guided"):
+def invalid_mask(invalids, weights, policy="weight_guided", rgb_samps=None, occ=None):
     """Per-pixel bool mask of rays whose supervision is unreliable.
 
     invalids: (..., K, V) in [0,1]; weights: (..., K).
+    rgb_samps: (..., K, V, 3), needed by "weight_guided_diverse";
+    occ: (..., 1) occupancy proposals, needed by "occ_weight_guided".
     Matches reconstruction_loss.py:109-171.
     """
     if policy in (None, "none"):
@@ -81,6 +83,17 @@ def invalid_mask(invalids, weights, policy="weight_guided"):
     if policy == "weight_guided":
         w = jnp.sum(invalids * weights[..., None], axis=-2)  # (..., V)
         return jnp.all(w > 0.9, axis=-1, keepdims=True)
+    if policy == "weight_guided_diverse":
+        # additionally drop rays whose per-view color samples barely vary
+        # along the ray (no parallax signal), reconstruction_loss.py:136-147
+        w = jnp.sum(invalids * weights[..., None], axis=-2)  # (..., V)
+        ray_std = jnp.std(rgb_samps, axis=-3).mean(-1)  # (..., V)
+        return jnp.all((w > 0.9) | (ray_std < 0.01), axis=-1, keepdims=True)
+    if policy == "occ_weight_guided":
+        # occ == 1 marks possible valid reprojection (:125-134)
+        w = jnp.sum(invalids * weights[..., None], axis=-2)
+        wg = jnp.all(w > 0.9, axis=-1, keepdims=True)
+        return wg | ~(occ > 0.5)
     raise ValueError(policy)
 
 

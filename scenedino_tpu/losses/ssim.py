@@ -55,6 +55,12 @@ def ssim_error(x, y, pad=True, comp_mode=True, eval_mode=False):
     return jnp.clip((1 - n / d) / 2.0, 0.0, 1.0)
 
 
+# GEO (layers.py:181-264, the L_geo pseudo-label loss) computes the exact
+# same windowed-statistics formula and clamp modes as SSIM — the reference
+# ships it as a duplicate class; here it is the same function.
+geo_error = ssim_error
+
+
 def l1_ssim(pred, gt):
     """0.85 * mean_c(ssim) + 0.15 * mean_c(|l1|) per pixel.
 
