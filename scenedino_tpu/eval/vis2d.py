@@ -136,6 +136,54 @@ def get_depth_profile(z_samps: np.ndarray, weights: np.ndarray, row: Optional[in
     return colormap(prof / max(float(prof.max()), 1e-6))
 
 
+def _norm01(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float32)
+    lo, hi = float(x.min()), float(x.max())
+    return (x - lo) / max(hi - lo, 1e-6)
+
+
+def compute_profile(sigmas: np.ndarray, invalid: Optional[np.ndarray] = None, dim: int = 1) -> np.ndarray:
+    """Top-down scene profile from a dense sigma grid (render_profile,
+    vis_2d.py:21-59): fraction of samples along `dim` before the cumulative
+    density crosses 1 — a normalized "height of first surface" map.
+
+    sigmas: (res_x, res_y, res_z); invalid same shape (masked to solid)."""
+    s = np.asarray(sigmas, np.float32)
+    if invalid is not None:
+        s = np.where(np.asarray(invalid, bool), 1.0, s)
+    csum = np.cumsum(s, axis=dim)
+    return (csum <= 1.0).astype(np.float32).sum(axis=dim) / s.shape[dim]
+
+
+def get_profiles(profile: np.ndarray) -> np.ndarray:
+    """Profile map -> heat image, transposed like the reference
+    (vis_2d.py:61-70)."""
+    return colormap(_norm01(np.asarray(profile).T))
+
+
+def get_uncertainty(uncert: np.ndarray) -> np.ndarray:
+    """Rendered or predicted per-pixel uncertainty (vis_2d.py:364-377)."""
+    return colormap(_norm01(uncert))
+
+
+def get_downsampling_weight(weight: np.ndarray) -> np.ndarray:
+    """Salience-downsampler pixel weights, max-normalized
+    (vis_2d.py:244-251)."""
+    w = np.asarray(weight, np.float32)
+    return colormap(w / max(float(w.max()), 1e-6))
+
+
+def get_downsampling_salience(sal: np.ndarray) -> np.ndarray:
+    """Salience map, min-max normalized (vis_2d.py:254-261)."""
+    return colormap(_norm01(sal))
+
+
+def get_dino_artifacts(art: np.ndarray) -> np.ndarray:
+    """Artifact-field PCA panel (get_batch_dino_artifacts,
+    vis_2d.py:172-178). art: (H, W, C)."""
+    return get_dino_pca(art)
+
+
 def tb_visualize(data: Dict[str, np.ndarray], z_near=3.0, z_far=80.0) -> Dict[str, np.ndarray]:
     """Build the standard panel dict from render outputs (vis_2d.py:457-515
     dispatch)."""
@@ -165,4 +213,14 @@ def tb_visualize(data: Dict[str, np.ndarray], z_near=3.0, z_far=80.0) -> Dict[st
         out["alpha_sum"] = get_alpha_sum(data["weights"])
         if "z_samps" in data:
             out["depth_profile"] = get_depth_profile(data["z_samps"], data["weights"])
+    if "uncert" in data:
+        out["uncertainty"] = get_uncertainty(data["uncert"])
+    if "profiles" in data:
+        out["profile"] = get_profiles(data["profiles"])
+    if "dino_artifacts" in data:
+        out["dino_artifacts"] = get_dino_artifacts(data["dino_artifacts"])
+    if "downsample_weight" in data:
+        out["downsample_weight"] = get_downsampling_weight(data["downsample_weight"])
+    if "downsample_salience" in data:
+        out["downsample_salience"] = get_downsampling_salience(data["downsample_salience"])
     return out

@@ -90,6 +90,9 @@ class SceneField(nn.Module):
     head_confs: Tuple[Tuple[str, Any], ...] = (("normal_head", {"type": "resnet", "args": {"n_blocks": 0, "d_hidden": 128}}),)
     final_pred_head: str = "normal_head"
     downstream: Optional[nn.Module] = None
+    # optional per-image uncertainty backbone (models/__init__.py:22-26 ->
+    # bts.py:30,38); its softplus'd map rides as an extra color channel
+    uncertainty_predictor: Optional[nn.Module] = None
 
     def setup(self):
         self.heads = {name: make_head(dict(conf), 0, self.cfg.d_out) for name, conf in self.head_confs}
@@ -110,6 +113,7 @@ class SceneField(nn.Module):
         with_loss_feats: bool = False,
         loss_feature_grid_shift: Optional[Tuple[int, int]] = None,
         augment_flip: bool = False,
+        extra_color_channels: Optional[jnp.ndarray] = None,
     ) -> SceneState:
         """Run the image encoder(s) and bundle the scene state.
 
@@ -168,6 +172,13 @@ class SceneField(nn.Module):
             loss_feats = lf.reshape(B, nl, *lf.shape[1:])
 
         color_imgs = take(images, ids_render) * 0.5 + 0.5
+        if extra_color_channels is not None:
+            # uncertainty (or other processed) channels ride along the render
+            # colors so the volume renderer integrates them per ray
+            # (trainer.py:173-178 images_ip concat)
+            color_imgs = jnp.concatenate(
+                [color_imgs, take(extra_color_channels, ids_render)], axis=2
+            )
         return SceneState(
             feat_grid=feat_grid,
             feat_ks=take(ks, ids_encoder),
@@ -253,7 +264,8 @@ class SceneField(nn.Module):
 
         colors, invalid_colors = self.sample_colors(state, xyz)  # (B, Vr, P, 3)
         Vr = colors.shape[1]
-        rgb = colors.transpose(0, 2, 1, 3).reshape(B, P, Vr * 3)
+        # channel count follows state.color_imgs (3 + any extra channels)
+        rgb = colors.transpose(0, 2, 1, 3).reshape(B, P, Vr * colors.shape[-1])
         inv_c = invalid_colors[..., 0].transpose(0, 2, 1)  # (B, P, Vr)
         invalid = (inv_c | jnp.all(invalid_features, axis=-1, keepdims=True)).astype(rgb.dtype)
         return rgb, invalid, sigma, dino
@@ -283,7 +295,22 @@ class SceneField(nn.Module):
             # checkpoint schema (stego/direct x kmeans/linear)
             for mode in ("stego_kmeans", "stego_linear", "direct_kmeans", "direct_linear"):
                 _ = self.query_segmentation(state, xyz, mode=mode)
+        if self.uncertainty_predictor is not None:
+            _ = self.predict_uncertainty(images)
         return state
+
+    def predict_uncertainty(self, images: jnp.ndarray, res: int = 0):
+        """Per-pixel uncertainty from the optional predictor backbone.
+
+        images: (B, V, 3, H, W) in [-1, 1] -> (B, V, 1, H, W), softplus'd
+        and bilinearly resized to image resolution (trainer.py:173-177).
+        """
+        B, V, C, H, W = images.shape
+        outs = self.uncertainty_predictor(images.reshape(B * V, C, H, W))
+        u = outs[res]  # (B*V, 1, H/2^res, W/2^res)
+        if u.shape[-2:] != (H, W):
+            u = jax.image.resize(u, (*u.shape[:2], H, W), method="bilinear")
+        return jax.nn.softplus(u).reshape(B, V, 1, H, W)
 
     def expand_dim(self, features):
         """64-d field feature -> 768-d DINO space (encoder.dim_reduction)."""

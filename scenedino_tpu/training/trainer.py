@@ -50,6 +50,11 @@ class TrainConfig:
     flip_augmentation: bool = True
     grid_shift_augmentation: bool = True
     weight_dtype: Any = jnp.float32
+    # optional research branches (off in shipped configs, trainer.py:84-99)
+    predict_uncertainty: bool = False  # needs field.uncertainty_predictor
+    uncertainty_predictor_res: int = 0
+    predict_consistency: bool = False
+    consistency_rays: int = 512
 
 
 class TrainState(struct.PyTreeNode):
@@ -129,7 +134,17 @@ def stage1_forward(
     projs = batch["projs"]
     B, V, _, H, W = imgs.shape
 
-    k_split, k_shift, k_flip, k_patch, k_render = jax.random.split(key, 5)
+    k_split, k_shift, k_flip, k_patch, k_render, k_cons = jax.random.split(key, 6)
+
+    # optional per-image uncertainty channel (trainer.py:173-178): predicted
+    # by the field's uncertainty backbone, softplus'd, and concatenated to
+    # the processed images so the renderer integrates it along rays
+    uncert = None
+    if cfg.predict_uncertainty and field.uncertainty_predictor is not None:
+        uncert = field.apply(
+            params, imgs, cfg.uncertainty_predictor_res,
+            method=SceneField.predict_uncertainty,
+        )
 
     # pose rebase to frame 0 (trainer.py:138-140)
     to_base = jnp.linalg.inv(poses[:, :1].astype(jnp.float32))
@@ -162,6 +177,7 @@ def stage1_forward(
         with_loss_feats=True,
         loss_feature_grid_shift=shift,
         augment_flip=training and cfg.flip_augmentation,
+        extra_color_channels=uncert,
         method=SceneField.encode,
         rngs={"augment": k_flip},
     )
@@ -175,6 +191,10 @@ def stage1_forward(
     # image_processor.py:34-41) and rendered colors come from state.color_imgs
     # which encode() already de-normalized.
     imgs_loss = jnp.take(imgs, ids_loss, axis=1) * 0.5 + 0.5
+    if uncert is not None:
+        imgs_loss = jnp.concatenate(
+            [imgs_loss, jnp.take(uncert, ids_loss, axis=1)], axis=2
+        )
     poses_loss = jnp.take(poses, ids_loss, axis=1)
     projs_loss = jnp.take(projs, ids_loss, axis=1)
 
@@ -210,15 +230,20 @@ def stage1_forward(
     P = cfg.patch_size
     PC = sampler.patch_count
     c = out["coarse"]
-    Vr = c["rgb"].shape[-1] // 3
+    C_img = 3 + (uncert.shape[2] if uncert is not None else 0)
+    Vr = c["rgb"].shape[-1] // C_img
     K = c["weights"].shape[-1]
+    rgb_full = sampler.reconstruct(c["rgb"]).reshape(B, PC, P, P, Vr, C_img)
     coarse = {
-        "rgb": sampler.reconstruct(c["rgb"]).reshape(B, PC, P, P, Vr, 3),
+        "rgb": rgb_full[..., :3],
         "depth": sampler.reconstruct(c["depth"]),
         "invalid": sampler.reconstruct(c["invalid"]).reshape(B, PC, P, P, K, Vr),
         "weights": sampler.reconstruct(c["weights"]),
         "dino_features": sampler.reconstruct(c["dino_features"]),
     }
+    if C_img > 3:
+        # rendered per-ray uncertainty (extra integrated color channel)
+        coarse["uncert"] = rgb_full[..., 3:].mean(-2)  # (B, PC, P, P, Ce)
 
     # expand 64 -> 768 + downsample prediction to the patch grid
     # (trainer.py:282-296; "patch" mode during training). The per-pixel
@@ -245,7 +270,96 @@ def stage1_forward(
         "coarse": coarse,
     }
     losses = reconstruction_loss(data, lcfg)
+    if "uncert" in coarse:
+        # diagnostic scalar; research losses (losses/errors.py
+        # alpha_consistency_uncert) consume the full map via data
+        losses["uncert_mean"] = jnp.mean(coarse["uncert"])
+
+    if training and cfg.predict_consistency:
+        # cross-view surface consistency diagnostics (trainer.py:337-387);
+        # the reference produces the two render dicts for (research) losses
+        # — here the summary scalar is logged so the branch stays live
+        cons = consistency_forward(
+            field, params, imgs, poses, projs, uncert, k_cons, cfg, rcfg
+        )
+        losses["consistency_depth_abs"] = cons["depth_abs"]
+
     return losses["rec_loss"], losses
+
+
+def consistency_forward(
+    field: SceneField,
+    params,
+    imgs: jnp.ndarray,
+    poses: jnp.ndarray,
+    projs: jnp.ndarray,
+    uncert: Optional[jnp.ndarray],
+    key: jax.Array,
+    cfg: TrainConfig,
+    rcfg: RenderConfig,
+) -> Dict[str, Any]:
+    """The predict_consistency double render (trainer.py:337-387).
+
+    1. Render `consistency_rays` random rays from view 0 (the current scene
+       encoding is re-built here for functional purity — the reference
+       reuses the stored grid).
+    2. Unproject the predicted depth to 3D surface points.
+    3. Re-encode view cf=1 only, and render point-based rays through those
+       surface points from view 1.
+
+    Returns {"render_dict_0", "render_dict_1", "xyz", "rgb_gt_0",
+    "depth_abs"} — the two render dicts mirror the reference's
+    data["consistency"] payload; depth_abs is a scalar |d1 - |xyz - o1||
+    agreement diagnostic.
+    """
+    from scenedino_tpu.core.ray_sampler import PointBasedRaySampler, RandomRaySampler
+
+    cf = 1
+    k_rand, k_r0, k_r1 = jax.random.split(key, 3)
+
+    state0 = field.apply(
+        params, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
+        extra_color_channels=uncert, method=SceneField.encode,
+    )
+
+    imgs_ip = imgs[:, :1] * 0.5 + 0.5
+    if uncert is not None:
+        imgs_ip = jnp.concatenate([imgs_ip, uncert[:, :1]], axis=2)
+    rs = RandomRaySampler(cfg.z_near, cfg.z_far, ray_batch_size=cfg.consistency_rays)
+    rays0, rgb_gt0, _ = rs.sample(k_rand, imgs_ip, poses[:, :1], projs[:, :1])
+
+    def f0(xyz, only_density=False):
+        return field.apply(params, state0, xyz, only_density=only_density)
+
+    rd0 = render_rays(f0, rays0[..., :8], k_r0, rcfg, want_weights=False, training=True)
+
+    d = rays0[..., 3:6]
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    xyz = rays0[..., :3] + d * rd0["coarse"]["depth"][..., None]
+
+    state1 = field.apply(
+        params, imgs[:, cf:cf + 1], projs[:, cf:cf + 1], poses[:, cf:cf + 1],
+        extra_color_channels=None if uncert is None else uncert[:, cf:cf + 1],
+        method=SceneField.encode,
+    )
+    ps = PointBasedRaySampler(cfg.z_near, cfg.z_far)
+    rays1 = ps.sample(xyz, poses[:, cf])
+
+    def f1(p, only_density=False):
+        return field.apply(params, state1, p, only_density=only_density)
+
+    rd1 = render_rays(f1, rays1, k_r1, rcfg, want_weights=True, training=True)
+
+    o1 = poses[:, cf, None, :3, 3]
+    target_depth = jnp.linalg.norm(xyz - o1, axis=-1)
+    depth_abs = jnp.mean(jnp.abs(rd1["coarse"]["depth"] - target_depth))
+    return {
+        "render_dict_0": rd0,
+        "render_dict_1": rd1,
+        "xyz": xyz,
+        "rgb_gt_0": rgb_gt0,
+        "depth_abs": depth_abs,
+    }
 
 
 def stage1_eval_forward(

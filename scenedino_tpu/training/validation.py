@@ -29,8 +29,10 @@ from scenedino_tpu.eval.metrics import (
     depth_metrics,
     dino_cosine_similarity,
     pseudo_label_assignment,
+    psnr,
     seg_confusion_matrix,
     seg_scores,
+    ssim_index,
 )
 
 logger = logging.getLogger("validation")
@@ -172,6 +174,37 @@ def compute_dino_metrics(data) -> Dict[str, float]:
     }
 
 
+def compute_nvs_metrics(data, lpips_fn: Optional[Callable] = None) -> Dict[str, float]:
+    """compute_nvs_metrics parity (metrics.py:154-191): stereo-frame novel
+    view synthesis quality, 5% border crop, PSNR + SSIM (+ LPIPS when a
+    weights-loaded `eval/lpips.py` apply fn is supplied — the published
+    LPIPS weights cannot ship in-repo)."""
+    if "rgb" not in data:
+        return {}
+    import jax.numpy as jnp
+    import math
+
+    rgb = np.asarray(data["rgb"], np.float32)  # (B, VL, H, W, Vr, 3)
+    sf = rgb.shape[1] // 2  # the stereo frame (metrics.py:159)
+    pred = rgb[:1, sf, :, :, 0, :]  # (1, H, W, 3)
+    gt = np.asarray(data["imgs_gt"], np.float32)[:1, sf].transpose(0, 2, 3, 1)
+    h, w = pred.shape[1:3]
+    y0, y1 = int(math.ceil(0.05 * h)), int(math.floor(0.95 * h))
+    x0, x1 = int(math.ceil(0.05 * w)), int(math.floor(0.95 * w))
+    pred = pred[:, y0:y1, x0:x1]
+    gt = gt[:, y0:y1, x0:x1]
+    p_nchw = jnp.asarray(pred.transpose(0, 3, 1, 2))
+    g_nchw = jnp.asarray(gt.transpose(0, 3, 1, 2))
+    out = {
+        "psnr": float(psnr(jnp.asarray(pred), jnp.asarray(gt))),
+        "ssim": float(ssim_index(p_nchw, g_nchw)),
+    }
+    if lpips_fn is not None:
+        # lpips expects [-1, 1] (normalize=False in metrics.py:185)
+        out["lpips"] = float(np.mean(np.asarray(lpips_fn(p_nchw * 2 - 1, g_nchw * 2 - 1))))
+    return out
+
+
 def compute_seg_confusions(seg_data, target, n_classes: int, gt_classes: int):
     """compute_seg_metrics parity (metrics.py:230-247): per result key, the
     (gt, pseudo) confusion of view-0 predictions against the target."""
@@ -252,7 +285,7 @@ def make_stage1_validator(
 
     def run(state, key):
         accs: Dict[str, DictMeanAccumulator] = {
-            t: DictMeanAccumulator(t) for t in metric_types if t in ("depth", "dino")
+            t: DictMeanAccumulator(t) for t in metric_types if t in ("depth", "dino", "nvs")
         }
         for batch in batches_fn():
             key, sub = jax.random.split(key)
@@ -261,6 +294,8 @@ def make_stage1_validator(
                 accs["depth"].update(compute_depth_metrics(data))
             if "dino" in accs:
                 accs["dino"].update(compute_dino_metrics(data))
+            if "nvs" in accs:
+                accs["nvs"].update(compute_nvs_metrics(data))
         metrics: Dict[str, Any] = {}
         for acc in accs.values():
             metrics.update(acc.compute())

@@ -92,16 +92,32 @@ def test_vis2d_builders():
         "invalid": rng.rand(H, W, 8, 1).astype(np.float32),
         "weights": rng.rand(H, W, 8).astype(np.float32),
         "z_samps": rng.rand(H, W, 8).astype(np.float32),
+        "uncert": rng.rand(H, W).astype(np.float32),
+        "dino_artifacts": rng.rand(H, W, 6).astype(np.float32),
+        "downsample_weight": rng.rand(H, W).astype(np.float32),
+        "downsample_salience": rng.rand(H, W).astype(np.float32),
     }
     panels = tb_visualize(data)
     for k in ("input_imgs", "depth", "reconstruction", "segmentation", "weight_entropy",
               "reconstruction_rmse", "dino_cos_sim", "dino_gt_pca", "invalids",
-              "alpha_sum", "depth_profile"):
+              "alpha_sum", "depth_profile", "uncertainty", "dino_artifacts",
+              "downsample_weight", "downsample_salience"):
         assert k in panels
         assert panels[k].shape[-1] == 3
         assert np.all(panels[k] >= 0) and np.all(panels[k] <= 1 + 1e-6)
     seg = get_segmentation(np.array([[0, -1]]))
     assert np.allclose(seg[0, 1], 0.0)  # ignore -> black
+
+    # density profile: empty grid -> everything stays below cumsum 1 -> 1.0;
+    # solid grid -> crosses immediately -> 1/res
+    from scenedino_tpu.eval.vis2d import compute_profile, get_profiles
+
+    empty = np.zeros((4, 5, 6), np.float32)
+    np.testing.assert_allclose(compute_profile(empty, dim=1), 1.0)
+    solid = np.ones((4, 5, 6), np.float32)
+    np.testing.assert_allclose(compute_profile(solid, dim=1), 1.0 / 5)
+    img = get_profiles(compute_profile(empty))
+    assert img.shape == (6, 4, 3)
 
 
 def test_jittered_patch_sampler():

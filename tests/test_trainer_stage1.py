@@ -172,3 +172,57 @@ def test_stage1_pjit_data_parallel():
         step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
         state, losses = step(state, sharded_batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["rec_loss"]))
+
+
+def test_uncertainty_and_consistency_branches():
+    """predict_uncertainty (extra rendered channel) + predict_consistency
+    (double render, trainer.py:173-178,337-387) run end-to-end and stay
+    differentiable/finite."""
+    from scenedino_tpu.models.monodepth2 import Monodepth2
+    from scenedino_tpu.training.trainer import consistency_forward
+
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=PATCH, dino_pca_dim=6)
+    up = Monodepth2(d_out=1, scales=(0,))
+    field = SceneField(encoder=enc, cfg=FieldConfig(dino_dims=6), uncertainty_predictor=up)
+    batch = build_batch()
+    k = jax.random.PRNGKey(0)
+    params = field.init(
+        {"params": k, "augment": k},
+        batch["imgs"], batch["projs"], batch["poses"], method=SceneField.warmup,
+    )
+
+    # uncertainty map: positive (softplus), image-resolution
+    u = field.apply(params, batch["imgs"], 0, method=SceneField.predict_uncertainty)
+    assert u.shape == (2, 4, 1, H, W)
+    assert np.all(np.asarray(u) > 0)
+
+    tcfg = TrainConfig(
+        ray_batch_size=64, patch_size=PATCH, compensate_artifacts=False,
+        grid_shift_augmentation=False, predict_uncertainty=True,
+        predict_consistency=True, consistency_rays=16,
+    )
+    rcfg = RenderConfig(n_coarse=8)
+    lcfg = ReconstructionLossConfig(lambda_dino_edge_aware_smoothness=0.0)
+
+    def loss_fn(p):
+        loss, losses = stage1_forward(
+            field, p, batch, jax.random.PRNGKey(1), tcfg, rcfg, lcfg, training=True
+        )
+        # grad through the rendered-uncertainty diagnostic: the shipped
+        # loss ignores the channel (faithful), so drive it explicitly
+        return loss + losses["uncert_mean"], losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(losses["consistency_depth_abs"]))
+    # the uncertainty predictor is differentiable through the render
+    flat = jax.tree_util.tree_leaves(grads["params"]["uncertainty_predictor"])
+    assert any(np.any(np.asarray(g) != 0) for g in flat)
+
+    cons = consistency_forward(
+        field, params, batch["imgs"], batch["poses"], batch["projs"],
+        None, jax.random.PRNGKey(2), tcfg, rcfg,
+    )
+    assert cons["xyz"].shape == (2, 16, 3)
+    assert cons["render_dict_1"]["coarse"]["depth"].shape == (2, 16)
+    assert np.isfinite(np.asarray(cons["depth_abs"]))
