@@ -33,17 +33,58 @@ def patch_processor(images, patch_size: int = 3):
     return jnp.concatenate(shifts, axis=2)
 
 
-def make_image_processor(config: dict):
+def perceptual_processor(images, vgg_params, layers: int = 1):
+    """LPIPS-VGG feature pyramid as the reconstruction target
+    (PerceptualProcessor, image_processor.py:44-79): run the VGG16 trunk,
+    unit-normalize the first `layers` taps (relu1_2/2_2/3_3/...),
+    bilinearly resize each to image resolution, concat over channels.
+
+    images: (B, V, 3, H, W) in [-1, 1]; vgg_params: the "trunk" params of
+    eval/lpips.VGG16Features (converted published weights).
+    Returns (B, V, sum(chns[:layers]), H, W).
+    """
+    import jax
+
+    from scenedino_tpu.eval.lpips import _SCALE, _SHIFT, VGG16Features
+
+    B, V, C, H, W = images.shape
+    x = images.reshape(B * V, C, H, W)
+    x = (x - _SHIFT[None, :, None, None]) / _SCALE[None, :, None, None]
+    taps = VGG16Features().apply({"params": vgg_params}, x.transpose(0, 2, 3, 1))
+    feats = []
+    for t in taps[:layers]:
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-10)
+        t = t.transpose(0, 3, 1, 2)  # NCHW
+        if t.shape[-2:] != (H, W):
+            t = jax.image.resize(t, (*t.shape[:2], H, W), method="bilinear")
+        feats.append(t)
+    out = jnp.concatenate(feats, axis=1)
+    return out.reshape(B, V, -1, H, W)
+
+
+PERCEPTUAL_CHANNELS = (64, 128, 256, 512, 512)  # lpips.chns
+
+
+def make_image_processor(config: dict, vgg_params=None):
     kind = (config or {}).get("type", "RGB").lower()
     if kind == "rgb":
         return rgb_processor
     if kind == "patch":
         ps = config.get("patch_size", 3)
         return lambda images: patch_processor(images, ps)
-    if kind in ("perceptual", "raft", "flow", "flow_occlusion"):
+    if kind == "perceptual":
+        if vgg_params is None:
+            raise NotImplementedError(
+                "perceptual processor needs converted LPIPS-VGG weights "
+                "(eval/lpips.py load_lpips / convert_lpips_state_dict); none "
+                "are bundled — pass vgg_params (the 'trunk' subtree)."
+            )
+        layers = config.get("layers", 1)
+        return lambda images: perceptual_processor(images, vgg_params, layers)
+    if kind in ("raft", "flow", "flow_occlusion"):
         raise NotImplementedError(
-            f"image processor '{kind}' needs pretrained torchvision weights "
-            "(LPIPS-VGG / RAFT), which are not bundled; the shipped SceneDINO "
+            f"image processor '{kind}' needs pretrained RAFT weights "
+            "(torchvision), which are not bundled; the shipped SceneDINO "
             "configs use 'RGB'."
         )
     raise ValueError(f"unknown image processor: {kind}")

@@ -14,7 +14,10 @@ from scenedino_tpu.datasets.labels import (  # noqa: F401
 def make_datasets(config: dict) -> Tuple:
     """(train, test) datasets from a config dict with "type"."""
     kind = config.get("type", "old_KITTI_360")
-    if kind in ("old_KITTI_360", "KITTI_360"):
+    # "KITTI_360" and "KITTI_360_v2" are the reference's redundant refactors
+    # of the same data/geometry (scenedino/datasets/__init__.py:20,66,110);
+    # all three type values map to the one implementation here.
+    if kind in ("old_KITTI_360", "KITTI_360", "KITTI_360_v2"):
         from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
 
         common = dict(

@@ -1,0 +1,49 @@
+"""Sweep banded-gather parameters for the novel-view fast renderer on the
+real TPU. Usage: python tools/bench_novel_view.py [band ...]"""
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scenedino_tpu.utils.benchmarking import device_time
+from scenedino_tpu.utils.jax_setup import enable_compilation_cache
+
+enable_compilation_cache()
+
+H, W, K = 192, 640, 32
+
+
+def main():
+    from bench import build
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.ops.fast_field import build_fast_state, render_novel_view
+
+    field, params, imgs, projs, poses = build()
+    cfg = field.cfg
+
+    c, s = np.cos(0.05), np.sin(0.05)
+    novel_pose = jnp.asarray(
+        np.array([[c, 0, s, 0.3], [0, 1, 0, -0.1], [-s, 0, c, 0.0], [0, 0, 0, 1]], np.float32)
+    )
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+    fs = build_fast_state(params, state, cfg)
+
+    bands = [int(b) for b in sys.argv[1:]] or [32, 48, 64, 96]
+    for band in bands:
+        def step(fs, salt, _band=band):
+            g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
+            return render_novel_view(
+                g, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0),
+                n_coarse=K, band=_band,
+            )
+
+        dt = device_time(step, fs, iters=8)
+        print(f"band={band}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
