@@ -212,18 +212,23 @@ def render_novel_view(
     n_coarse: int = 32,
     lindisp: bool = True,
     hard_alpha_cap: bool = True,
-    band: int = 32,
+    band: int = 64,
     want_rgb: bool = True,
 ):
     """Full-frame render of an ARBITRARY camera (ids_render != ids_encoder).
 
     The stage-1/NVS hot path (bts.py:271-328 inside nerf.py:230-449). The
-    gather-bound pixel-aligned lookup runs through the banded packed-quad
+    gather-bound pixel-aligned lookup runs through the banded NARROW-row
     gather (ops/tile_gather.py): sample points are laid out
-    (target_row, depth_sample, target_col) so each target row's points —
-    across ALL depth samples — hit a narrow horizontal band of the source
-    feature grid (vertical parallax is small for driving-style motion;
-    incoherent geometry falls back per-segment, exactly).
+    (target_row, depth_sample, target_col) in few large segments so each
+    segment's points hit a horizontal band of the source feature grid
+    (vertical parallax is small for driving-style motion; incoherent
+    geometry falls back per-segment, exactly). Measured (v5e,
+    tools/bench_gather_matrix.py): the TPU gather is BYTE-bound
+    (~115 GB/s gathered) for wide rows — so the feature grid is gathered
+    as 4 narrow 128-ch rows per point, NOT packed 512-ch quads, while the
+    small rgb image IS quad-packed (row-count-bound regime) and fetched
+    with one plain take per point.
 
     Returns (depth (H, W), dino (H, W, d_out-1), rgb (H, W, 3) | None).
     """
@@ -231,7 +236,8 @@ def render_novel_view(
     from scenedino_tpu.core import rays as rays_mod
     from scenedino_tpu.core import sampling as S
     from scenedino_tpu.ops.tile_gather import (
-        bilinear_gather_packed_banded,
+        bilinear_gather_banded,
+        bilinear_gather_packed_plain,
         pack_quads,
     )
 
@@ -262,11 +268,13 @@ def render_novel_view(
 
     g2d = fs.folded_grid[0, 0]  # (Hg, Wg, D)
     Hg, Wg, D = g2d.shape
-    packed = pack_quads(g2d)
     px = (xy[0, 0, :, 0] + 1.0) * 0.5 * Wg - 0.5
     py = (xy[0, 0, :, 1] + 1.0) * 0.5 * Hg - 0.5
-    sampled = bilinear_gather_packed_banded(
-        packed, Hg, Wg, px, py, segments=height, band=band
+    # few LARGE segments: band-copy traffic is negligible next to the
+    # gathers, and big per-take index vectors amortize best (measured)
+    segments = height // 4 if height % 4 == 0 else height
+    sampled = bilinear_gather_banded(
+        g2d, px, py, segments=segments, band=band
     )  # (P, D)
 
     h = (
@@ -294,16 +302,16 @@ def render_novel_view(
 
     rgb_out = None
     if want_rgb:
-        # colors from the first render view through the same packed gather
+        # colors from the first render view: the image is SMALL (~2.9 MB
+        # quad-packed), so one plain take per point runs at the full
+        # row-gather rate — no banding needed
         img = fs.color_imgs[0, 0]  # (Hc, Wc, 3)
         Hc, Wc = img.shape[:2]
         xy_c, _, _, _ = cameras.project_points(p_flat, fs.color_w2c[:, :1], fs.color_ks[:, :1])
         cx = (xy_c[0, 0, :, 0] + 1.0) * 0.5 * Wc - 0.5
         cy = (xy_c[0, 0, :, 1] + 1.0) * 0.5 * Hc - 0.5
         packed_rgb = pack_quads(img)
-        rgb_s = bilinear_gather_packed_banded(
-            packed_rgb, Hc, Wc, cx, cy, segments=height, band=band
-        )  # (P, 3)
+        rgb_s = bilinear_gather_packed_plain(packed_rgb, Hc, Wc, cx, cy)  # (P, 3)
         rgb_k = rgb_s.reshape(height, K, width, 3).astype(jnp.float32)
         rgb_out = jnp.einsum("hwk,hkwd->hwd", w_hwk, rgb_k)
     return depth, dino_out, rgb_out
@@ -337,18 +345,16 @@ def fast_query(
     code = encoding.positional_encoding(coords, cfg.num_freqs, cfg.freq_factor, cfg.include_input)
 
     if segments is not None and B == 1 and fs.folded_grid.shape[1] == 1:
-        from scenedino_tpu.ops.tile_gather import (
-            bilinear_gather_packed_banded,
-            pack_quads,
-        )
+        from scenedino_tpu.ops.tile_gather import bilinear_gather_banded
 
         g2d = fs.folded_grid[0, 0]
         Hg, Wg, _ = g2d.shape
-        packed = pack_quads(g2d)
         px = (xy[0, 0, :, 0] + 1.0) * 0.5 * Wg - 0.5
         py = (xy[0, 0, :, 1] + 1.0) * 0.5 * Hg - 0.5
-        sampled = bilinear_gather_packed_banded(
-            packed, Hg, Wg, px, py, segments=segments, band=band
+        # 4 narrow takes beat one packed wide take: the gather is
+        # byte-bound for wide rows (see render_novel_view docstring)
+        sampled = bilinear_gather_banded(
+            g2d, px, py, segments=segments, band=band
         )[None, None]  # (1, 1, P, d_hidden)
     else:
         sampled = grid_sample.grid_sample_views_hwc(fs.folded_grid, xy)  # (B, V, P, d_hidden)

@@ -199,6 +199,24 @@ def bilinear_gather_packed_banded(
     return out.reshape(P, -1)
 
 
+@partial(jax.jit, static_argnames=("H", "W"))
+def bilinear_gather_packed_plain(packed, H, W, x, y):
+    """Single-take packed-quad bilinear sample for SMALL tables.
+
+    Measured on v5e (tools/bench_gather_matrix.py): XLA's row gather is
+    BYTE-bound (~115 GB/s of gathered bytes) for rows >= 128 B and
+    row-count-bound (~420 Mrows/s) for narrow rows; small packed tables
+    (e.g. a 192x640 rgb image -> 12-channel quads, 2.9 MB) gather at the
+    full row rate with ONE take per point. For big tables (the 384x1280
+    feature grid) packing quadruples gathered bytes and LOSES — use
+    `bilinear_gather_banded` (4 narrow takes) there instead.
+    """
+    y0i, x0i, w4 = _quad_weights(x, y, H, W)
+    rows = jnp.take(packed, y0i * W + x0i, axis=0)
+    quads = rows.reshape(rows.shape[0], 4, -1)
+    return jnp.sum(quads * w4[..., None].astype(rows.dtype), axis=1)
+
+
 def grid_sample_banded_hwc(feat, xy_ndc, segments=16, band=32):
     """NDC front-end matching core.grid_sample.grid_sample_2d_hwc.
 

@@ -32,17 +32,17 @@ def main():
     state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
     fs = build_fast_state(params, state, cfg)
 
-    bands = [int(b) for b in sys.argv[1:]] or [32, 48, 64, 96]
-    for band in bands:
-        def step(fs, salt, _band=band):
+    variants = [(64, True), (64, False)]
+    for band, rgb in variants:
+        def step(fs, salt, _band=band, _rgb=rgb):
             g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
             return render_novel_view(
                 g, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0),
-                n_coarse=K, band=_band,
+                n_coarse=K, band=_band, want_rgb=_rgb,
             )
 
         dt = device_time(step, fs, iters=8)
-        print(f"band={band}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
+        print(f"band={band} rgb={rgb}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
 
 
 if __name__ == "__main__":
