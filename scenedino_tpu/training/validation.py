@@ -287,6 +287,7 @@ def make_stage1_validator(
         accs: Dict[str, DictMeanAccumulator] = {
             t: DictMeanAccumulator(t) for t in metric_types if t in ("depth", "dino", "nvs")
         }
+        panels = None
         for batch in batches_fn():
             key, sub = jax.random.split(key)
             data = jax.device_get(fwd(state.params, batch, sub))
@@ -296,9 +297,26 @@ def make_stage1_validator(
                 accs["dino"].update(compute_dino_metrics(data))
             if "nvs" in accs:
                 accs["nvs"].update(compute_nvs_metrics(data))
+            if panels is None:
+                # TB image panels from the first val batch (the reference
+                # logs visualization_fn output per validation run,
+                # base_trainer.py:368-378 + vis_2d.py:457-515)
+                from scenedino_tpu.eval.vis2d import tb_visualize
+
+                vis = {
+                    "imgs": np.asarray(batch["imgs"][0]),
+                    "depth": np.asarray(data["depth"][0, 0]),
+                    "rgb": np.asarray(data["rgb"][0, 0, :, :, 0, :]),
+                    "rgb_gt": np.asarray(data["imgs_gt"][0, 0]).transpose(1, 2, 0),
+                    "dino_features": np.asarray(data["dino_pred_grid"][0, 0]),
+                    "dino_gt": np.asarray(data["dino_gt_grid"][0, 0]),
+                }
+                panels = tb_visualize(vis)
         metrics: Dict[str, Any] = {}
         for acc in accs.values():
             metrics.update(acc.compute())
+        if panels:
+            metrics["images"] = panels
         return metrics
 
     return Validator(

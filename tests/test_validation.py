@@ -208,3 +208,29 @@ def test_stage1_validator_depth_and_dino_metrics():
         assert key in metrics, sorted(metrics.keys())
     assert -1.0 <= metrics["dino_cos_sim"] <= 1.0
     assert metrics["depth_abs_rel"] >= 0.0
+
+
+def test_stage1_validator_emits_image_panels():
+    """Validators attach TB image panels under "images" (the reference
+    logs visualization output per validation run, base_trainer.py:368-378)."""
+    from scenedino_tpu.training.trainer import TrainConfig, init_train_state
+    from tests.test_trainer_stage1 import build_batch, build_field, init_all
+
+    field = build_field()
+    tcfg = TrainConfig(
+        ray_batch_size=64, patch_size=4, compensate_artifacts=False,
+        grid_shift_augmentation=False,
+    )
+    rcfg = RenderConfig(n_coarse=8)
+    batch = build_batch()
+    params = init_all(field, batch, tcfg)
+    state, _ = init_train_state(field, params, tcfg)
+
+    vcfg = {"metrics": [{"type": "dino", "args": None}]}
+    v = make_stage1_validator("validation", vcfg, field, tcfg, rcfg, lambda: iter([batch]))
+    metrics = v(state, jax.random.PRNGKey(0))
+    assert "images" in metrics
+    panels = metrics["images"]
+    for key in ("input_imgs", "depth", "reconstruction", "dino_pca", "dino_cos_sim"):
+        assert key in panels, sorted(panels.keys())
+        assert panels[key].ndim == 3 and panels[key].shape[-1] == 3
