@@ -36,8 +36,12 @@ def main():
 
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
-    with open(args.config) as f:
-        config = yaml.safe_load(f)
+    # --config accepts a yaml file OR a training-run directory holding
+    # training_config.yaml (the reference re-composes the saved hydra
+    # config at inference, demo_utils/utils.py:39-42)
+    from scenedino_tpu.utils.jax_setup import load_run_config
+
+    config = load_run_config(args.config)
 
     dataset = make_test_dataset(config["dataset"])
     field = build_model(variant=config.get("variant", "dino"))

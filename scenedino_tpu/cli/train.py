@@ -162,6 +162,9 @@ def run_stage1(config):
         for b in batch_iterator(train_ds, batch_size)():
             yield shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items() if k in ("imgs", "poses", "projs")})
 
+    from scenedino_tpu.utils.jax_setup import save_run_config
+
+    save_run_config(config.get("output", {}).get("path", "out/run"), config)
     loop_cfg = LoopConfig(
         output_path=config.get("output", {}).get("path", "out/run"),
         num_epochs=tconf.get("num_epochs", 50),
@@ -290,6 +293,9 @@ def run_stage2(config):
     tx = make_downstream_optimizer(cfg, head_vars["params"])
     state = init_downstream_state(head_vars, cfg, head_cfg, tx)
     step = jax.jit(make_downstream_train_step(field, field_params, head, cfg, rcfg, tx))
+    from scenedino_tpu.utils.jax_setup import save_run_config
+
+    save_run_config(config.get("output", {}).get("path", "out/semantic"), config)
     loop_cfg = LoopConfig(
         output_path=config.get("output", {}).get("path", "out/semantic"),
         num_epochs=config.get("training", {}).get("num_epochs", 10),

@@ -197,15 +197,20 @@ class SceneField(nn.Module):
         Matches BTSNet.sample_features (bts.py:271-328).
         """
         cfg = self.cfg
-        xy, z, dist, invalid = cameras.project_points(xyz, state.feat_w2c, state.feat_ks)
-        coords = encoding.encode_coords(
-            xy.astype(jnp.float32), z.astype(jnp.float32), dist.astype(jnp.float32),
-            cfg.z_near, cfg.z_far, mode=cfg.code_mode, inv_z=cfg.inv_z,
-        )
-        code = encoding.positional_encoding(
-            coords, cfg.num_freqs, cfg.freq_factor, cfg.include_input
-        )  # (B, V, P, code_dims)
-        sampled = grid_sample.grid_sample_views(state.feat_grid, xy)  # (B, V, P, C)
+        # named_scope parity with the reference's record_function spans
+        # (bts.py:478, positional_encoding.py:74) for jax.profiler traces
+        with jax.named_scope("project_points"):
+            xy, z, dist, invalid = cameras.project_points(xyz, state.feat_w2c, state.feat_ks)
+        with jax.named_scope("positional_encoding"):
+            coords = encoding.encode_coords(
+                xy.astype(jnp.float32), z.astype(jnp.float32), dist.astype(jnp.float32),
+                cfg.z_near, cfg.z_far, mode=cfg.code_mode, inv_z=cfg.inv_z,
+            )
+            code = encoding.positional_encoding(
+                coords, cfg.num_freqs, cfg.freq_factor, cfg.include_input
+            )  # (B, V, P, code_dims)
+        with jax.named_scope("pixel_aligned_gather"):
+            sampled = grid_sample.grid_sample_views(state.feat_grid, xy)  # (B, V, P, C)
         if cfg.learn_empty:
             empty = self.empty_feature.astype(sampled.dtype)
             sampled = jnp.where(invalid, empty[None, None, None, :], sampled)

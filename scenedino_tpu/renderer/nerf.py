@@ -143,14 +143,19 @@ def render_rays_chunked(
 
 
 def _composite(field_fn, rays, z_samp, cfg, sb, noise_key, training):
-    """One compositing pass (nerf.py:230-449), fully vectorized."""
+    """One compositing pass (nerf.py:230-449), fully vectorized.
+
+    jax.named_scope spans mirror the reference's record_function tracing
+    (nerf.py:242,471, bts.py:478) so jax.profiler traces read the same.
+    """
     BR, K = z_samp.shape
     r_dim = rays.shape[-1]
     points = rays[:, None, :3] + z_samp[..., None] * rays[:, None, 3:6]  # (BR, K, 3)
     pts = points.reshape(sb, -1, 3)  # (SB, B'*K, 3)
 
     only_density = cfg.render_mode == "surface"
-    rgb, invalid, sigma, dino = field_fn(pts, only_density=only_density)
+    with jax.named_scope("model_inference"):
+        rgb, invalid, sigma, dino = field_fn(pts, only_density=only_density)
 
     sigma = sigma.reshape(BR, K).astype(jnp.float32)
     invalid = invalid.reshape(BR, K, -1)
@@ -162,7 +167,8 @@ def _composite(field_fn, rays, z_samp, cfg, sb, noise_key, training):
     if training and cfg.noise_std > 0.0:
         sigma = sigma + jax.random.normal(noise_key, sigma.shape) * cfg.noise_std
 
-    comp = compositing.composite_rays(sigma, z_samp, cfg.hard_alpha_cap)
+    with jax.named_scope("compositing"):
+        comp = compositing.composite_rays(sigma, z_samp, cfg.hard_alpha_cap)
     weights = comp.weights
     depth = comp.depth
 

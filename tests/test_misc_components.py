@@ -214,3 +214,15 @@ def test_dataset_type_aliases(tmp_path):
             pass  # empty dir: reaching the loader is what the alias test needs
     with pytest.raises(ValueError):
         make_datasets({"type": "nope"})
+
+
+def test_run_config_save_and_load(tmp_path):
+    """Training config persisted next to checkpoints and reloadable from
+    the run dir (common/io/configs.py + demo_utils/utils.py parity)."""
+    from scenedino_tpu.utils.jax_setup import load_run_config, save_run_config
+
+    cfg = {"model": {"variant": "dino"}, "training": {"lr": 1e-4}}
+    out = str(tmp_path / "run")
+    save_run_config(out, cfg)
+    assert load_run_config(out) == cfg  # from the directory
+    assert load_run_config(os.path.join(out, "training_config.yaml")) == cfg
