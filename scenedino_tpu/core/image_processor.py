@@ -65,7 +65,7 @@ def perceptual_processor(images, vgg_params, layers: int = 1):
 PERCEPTUAL_CHANNELS = (64, 128, 256, 512, 512)  # lpips.chns
 
 
-def make_image_processor(config: dict, vgg_params=None):
+def make_image_processor(config: dict, vgg_params=None, flow_fn=None):
     kind = (config or {}).get("type", "RGB").lower()
     if kind == "rgb":
         return rgb_processor
@@ -81,10 +81,31 @@ def make_image_processor(config: dict, vgg_params=None):
             )
         layers = config.get("layers", 1)
         return lambda images: perceptual_processor(images, vgg_params, layers)
-    if kind in ("raft", "flow", "flow_occlusion"):
+    if kind in ("flow", "flow_occlusion"):
+        # FlowProcessor / FlowOcclusionProcessor (image_processor.py:
+        # 190-263): append per-pair normalized flow (+ occlusion) channels.
+        # The flow NETWORK is pluggable — pass flow_fn(img0, img1) ->
+        # (B, 2, H, W) pixel flow (e.g. converted RAFT weights or
+        # precomputed flows); none ship here (no network egress).
+        if flow_fn is None:
+            raise NotImplementedError(
+                f"image processor '{kind}' needs a flow network: pass "
+                "flow_fn(img0, img1) -> (B, 2, H, W) pixel flow (the "
+                "reference uses pretrained torchvision RAFT)."
+            )
+        from scenedino_tpu.core.flow import pack_flow_channels
+
+        def run(images, _occ=(kind == "flow_occlusion")):
+            B, V, C, H, W = images.shape
+            img01 = (images * 0.5 + 0.5).reshape(B * V // 2, 2, C, H, W)
+            fwd = flow_fn(img01[:, 0], img01[:, 1])
+            bwd = flow_fn(img01[:, 1], img01[:, 0])
+            return pack_flow_channels(images, fwd, bwd, with_occlusions=_occ)
+
+        return run
+    if kind == "raft":
         raise NotImplementedError(
-            f"image processor '{kind}' needs pretrained RAFT weights "
-            "(torchvision), which are not bundled; the shipped SceneDINO "
-            "configs use 'RGB'."
+            "RaftExtractor needs pretrained torchvision RAFT weights, "
+            "which are not bundled; the shipped SceneDINO configs use 'RGB'."
         )
     raise ValueError(f"unknown image processor: {kind}")

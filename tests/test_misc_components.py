@@ -226,3 +226,68 @@ def test_run_config_save_and_load(tmp_path):
     save_run_config(out, cfg)
     assert load_run_config(out) == cfg  # from the directory
     assert load_run_config(os.path.join(out, "training_config.yaml")) == cfg
+
+
+def test_compute_occlusions_matches_torch_semantics():
+    """Splat-visibility parity vs a torch twin of geometry.py:211-236."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from scenedino_tpu.core.flow import compute_occlusions
+
+    def torch_occ(flow0, flow1):
+        n, _, h, w = flow0.shape
+        x = torch.linspace(-1, 1, w).view(1, 1, w).expand(1, h, w)
+        y = torch.linspace(-1, 1, h).view(1, h, 1).expand(1, h, w)
+        xy = torch.cat((x, y), dim=0).view(1, 2, h, w).expand(n, 2, h, w)
+        f0r = torch.cat((flow0[:, 0:1] * 2 / w, flow0[:, 1:2] * 2 / h), dim=1)
+        f1r = torch.cat((flow1[:, 0:1] * 2 / w, flow1[:, 1:2] * 2 / h), dim=1)
+        xy0 = (xy + f0r).view(n, 2, -1)
+        xy1 = (xy + f1r).view(n, 2, -1)
+        ns = torch.arange(n, dtype=xy0.dtype)
+        nxy0 = torch.cat((ns.view(n, 1, 1).expand(-1, 1, xy0.shape[-1]), xy0), dim=1)
+        nxy1 = torch.cat((ns.view(n, 1, 1).expand(-1, 1, xy1.shape[-1]), xy1), dim=1)
+        m0 = torch.zeros_like(flow0[:, :1])
+        m0[nxy1[:, 0].long(), 0,
+           ((nxy1[:, 2] * .5 + .5) * h).round().long().clamp(0, h - 1),
+           ((nxy1[:, 1] * .5 + .5) * w).round().long().clamp(0, w - 1)] = 1
+        m1 = torch.zeros_like(flow1[:, :1])
+        m1[nxy0[:, 0].long(), 0,
+           ((nxy0[:, 2] * .5 + .5) * h).round().long().clamp(0, h - 1),
+           ((nxy0[:, 1] * .5 + .5) * w).round().long().clamp(0, w - 1)] = 1
+        return m0, m1
+
+    rs = np.random.RandomState(0)
+    f0 = rs.randn(2, 2, 6, 9).astype(np.float32) * 2
+    f1 = rs.randn(2, 2, 6, 9).astype(np.float32) * 2
+    t0, t1 = torch_occ(torch.tensor(f0), torch.tensor(f1))
+    j0, j1 = compute_occlusions(jnp.array(f0), jnp.array(f1))
+    np.testing.assert_array_equal(np.asarray(j0), t0.numpy())
+    np.testing.assert_array_equal(np.asarray(j1), t1.numpy())
+
+
+def test_flow_processors():
+    """flow / flow_occlusion channel packing with a pluggable flow fn
+    (image_processor.py:190-263)."""
+    import pytest
+
+    from scenedino_tpu.core.image_processor import make_image_processor
+
+    with pytest.raises(NotImplementedError):
+        make_image_processor({"type": "flow"})
+
+    def zero_flow(i0, i1):
+        B, C, H, W = i0.shape
+        return jnp.zeros((B, 2, H, W))
+
+    imgs = jnp.zeros((1, 4, 3, 6, 8))
+    out = make_image_processor({"type": "flow"}, flow_fn=zero_flow)(imgs)
+    assert out.shape == (1, 4, 5, 6, 8)
+    out = make_image_processor({"type": "flow_occlusion"}, flow_fn=zero_flow)(imgs)
+    assert out.shape == (1, 4, 6, 6, 8)
+    # zero flow -> occlusion mask mostly ones (the reference's
+    # linspace-NDC rounding skips a few columns — faithfully reproduced,
+    # verified exactly by the torch-parity test above)
+    occ = np.asarray(out[:, :, 5])
+    assert set(np.unique(occ)) <= {0.0, 1.0}
+    assert occ.mean() > 0.5
