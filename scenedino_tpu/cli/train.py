@@ -16,17 +16,23 @@ import logging
 import numpy as np
 
 
-def batch_iterator(dataset, batch_size, key_seed=0, shuffle=True, drop_last=True):
-    """Minimal host-side batcher (numpy collate, stacked leading dim)."""
+def batch_iterator(dataset, batch_size, key_seed=0, shuffle=True, drop_last=True, num_workers=4):
+    """Host-side batcher: shuffled epoch plan + threaded prefetching
+    loader (the reference's `auto_dataloader(num_workers=...)`,
+    trainer.py:488-494; see utils/prefetch.py)."""
+    from scenedino_tpu.utils.prefetch import ThreadedLoader
+
     n = len(dataset)
     rng = np.random.RandomState(key_seed)
 
     def it():
         order = rng.permutation(n) if shuffle else np.arange(n)
-        for i in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
-            samples = [dataset[int(j)] for j in order[i : i + batch_size]]
-            keys = samples[0].keys()
-            yield {k: np.stack([s[k] for s in samples]) for k in keys if k in samples[0]}
+        stop = n - (batch_size - 1 if drop_last else 0)
+        plan = [
+            [int(j) for j in order[i : i + batch_size]]
+            for i in range(0, stop, batch_size)
+        ]
+        yield from ThreadedLoader(dataset, plan, num_workers=num_workers)
 
     return it
 
@@ -158,9 +164,20 @@ def run_stage1(config):
     step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
     batch_size = config.get("batch_size", 4)
 
+    from scenedino_tpu.utils.prefetch import device_prefetch
+
+    num_workers = config.get("num_workers", 4)
+
     def data_iter():
-        for b in batch_iterator(train_ds, batch_size)():
-            yield shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items() if k in ("imgs", "poses", "projs")})
+        host = (
+            {k: v for k, v in b.items() if k in ("imgs", "poses", "projs")}
+            for b in batch_iterator(train_ds, batch_size, num_workers=num_workers)()
+        )
+        # keep 2 sharded batches resident on device ahead of the step
+        yield from device_prefetch(
+            host, buffer_size=2,
+            put=lambda b: shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items()}),
+        )
 
     from scenedino_tpu.utils.jax_setup import save_run_config
 
@@ -306,9 +323,19 @@ def run_stage2(config):
         profile_stop=config.get("training", {}).get("profile_stop"),
     )
 
+    from scenedino_tpu.utils.prefetch import device_prefetch
+
     def data_iter():
-        for b in batch_iterator(train_ds, batch_size)():
-            yield {k: jnp.asarray(v) for k, v in b.items() if k in ("imgs", "poses", "projs", "segs")}
+        host = (
+            {k: v for k, v in b.items() if k in ("imgs", "poses", "projs", "segs")}
+            for b in batch_iterator(
+                train_ds, batch_size, num_workers=config.get("num_workers", 4)
+            )()
+        )
+        yield from device_prefetch(
+            host, buffer_size=2,
+            put=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+        )
 
     from scenedino_tpu.training.validation import make_update_model_fn
 

@@ -41,6 +41,9 @@ class FastFieldState(NamedTuple):
     color_imgs: jnp.ndarray
     color_ks: jnp.ndarray
     color_w2c: jnp.ndarray
+    # per-channel dequant scale when folded_grid is int8 (serving option;
+    # halves gathered bytes on the byte-bound TPU row gather). None = exact.
+    grid_scale: Optional[jnp.ndarray] = None
 
 
 def build_fast_state(
@@ -49,11 +52,18 @@ def build_fast_state(
     cfg: FieldConfig,
     head_name: str = "heads_normal_head",
     compute_dtype=jnp.bfloat16,
+    quantize_grid: bool = False,
 ) -> FastFieldState:
     """Fold the head's first layer into the feature grid.
 
     params: SceneField variables ({"params": {...}}). Only valid for the
     ResnetFC n_blocks=0 head (the shipped config); learn_empty must be off.
+
+    quantize_grid: store the folded grid int8 with a per-channel symmetric
+    scale (serving option, NOT exact): the TPU row gather is byte-bound,
+    so int8 rows halve the dominant gather traffic. Dequantization is a
+    per-channel scale AFTER the bilinear blend (scaling commutes with the
+    blend, so results are exact w.r.t. the quantized grid).
     """
     if cfg.learn_empty:
         raise ValueError("fast path requires learn_empty=False (shipped config)")
@@ -70,8 +80,16 @@ def build_fast_state(
         "bvchw,cd->bvhwd", state.feat_grid.astype(jnp.float32), w_feat,
         precision=jax.lax.Precision.HIGHEST,
     )
+    grid_scale = None
+    grid_dtype = compute_dtype
+    if quantize_grid:
+        amax = jnp.max(jnp.abs(folded), axis=(0, 1, 2, 3))  # per channel
+        grid_scale = jnp.maximum(amax, 1e-12) / 127.0
+        folded = jnp.clip(jnp.round(folded / grid_scale), -127, 127)
+        grid_dtype = jnp.int8
     return FastFieldState(
-        folded_grid=folded.astype(compute_dtype),
+        grid_scale=grid_scale,
+        folded_grid=folded.astype(grid_dtype),
         w_code=w_code.astype(compute_dtype),
         b1=b1.astype(jnp.float32),
         w2=k2.astype(compute_dtype),
@@ -160,6 +178,9 @@ def render_encode_view(
     code_z = E.positional_encoding(zn[..., None], cfg.num_freqs, cfg.freq_factor, cfg.include_input)
 
     g2d = fs.folded_grid[0, 0]  # (Hg, Wg, D) — 2x the image for patch-8 DPT
+    if fs.grid_scale is not None:
+        # encode-view does no gathers — dequantize upfront
+        g2d = g2d.astype(jnp.float32) * fs.grid_scale
     Hg, Wg = g2d.shape[:2]
     if (Hg, Wg) == (2 * height, 2 * width):
         # render pixel centers fall exactly midway between grid pixels
@@ -276,6 +297,9 @@ def render_novel_view(
     sampled = bilinear_gather_banded(
         g2d, px, py, segments=segments, band=band
     )  # (P, D)
+    if fs.grid_scale is not None:
+        # per-channel dequant AFTER the blend (commutes: scale is linear)
+        sampled = sampled.astype(jnp.float32) * fs.grid_scale
 
     h = (
         sampled.astype(jnp.float32)
@@ -357,7 +381,12 @@ def fast_query(
             g2d, px, py, segments=segments, band=band
         )[None, None]  # (1, 1, P, d_hidden)
     else:
-        sampled = grid_sample.grid_sample_views_hwc(fs.folded_grid, xy)  # (B, V, P, d_hidden)
+        grid = fs.folded_grid
+        if fs.grid_scale is not None:
+            grid = grid.astype(jnp.float32)
+        sampled = grid_sample.grid_sample_views_hwc(grid, xy)  # (B, V, P, d_hidden)
+    if fs.grid_scale is not None:
+        sampled = sampled.astype(jnp.float32) * fs.grid_scale
     h = (
         sampled.astype(jnp.float32)
         + jnp.einsum(

@@ -1,0 +1,124 @@
+"""Background data prefetching — the TPU-native stand-in for the
+reference's worker-process dataloaders.
+
+Behavioral parity target: `ignite.distributed.auto_dataloader` with
+`num_workers` (trainer.py:488-494). On TPU the goal is to hide BOTH the
+host-side __getitem__ cost (PNG decode, fisheye resample) and the
+host->device transfer behind the device step:
+
+  * `ThreadedLoader` — a pool of worker threads runs dataset.__getitem__
+    + collation ahead of the consumer, preserving batch order (python
+    threads overlap fine with numpy/PIL IO which release the GIL).
+  * `device_prefetch` — wraps any host iterator, keeps `buffer_size`
+    batches already `jax.device_put` (optionally sharded) so the train
+    step never waits on PCIe; mirrors the common JAX prefetch-to-device
+    idiom.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def collate(samples: Sequence[dict], keys: Optional[Sequence[str]] = None) -> dict:
+    """Stack a list of sample dicts into a batch dict of arrays."""
+    keys = keys if keys is not None else list(samples[0].keys())
+    out = {}
+    for k in keys:
+        vals = [s[k] for s in samples]
+        try:
+            out[k] = np.stack(vals)
+        except (ValueError, TypeError):
+            out[k] = vals  # ragged (e.g. 3d_bboxes): keep as list
+    return out
+
+
+class ThreadedLoader:
+    """Ordered multi-threaded batch loader over an indexable dataset.
+
+    iter(loader) yields collated batches for `index_batches` (a sequence
+    of index lists, e.g. from a shuffled epoch plan). `num_workers`
+    threads run __getitem__ concurrently, `prefetch_batches` bounds how
+    far ahead of the consumer they get.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        index_batches: Sequence[Sequence[int]],
+        num_workers: int = 4,
+        prefetch_batches: int = 4,
+        keys: Optional[Sequence[str]] = None,
+    ):
+        self.dataset = dataset
+        self.index_batches = index_batches
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.keys = keys
+
+    def __len__(self):
+        return len(self.index_batches)
+
+    def __iter__(self) -> Iterator[dict]:
+        ds = self.dataset
+
+        def load_batch(idxs):
+            return collate([ds[i] for i in idxs], self.keys)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            it = iter(self.index_batches)
+            try:
+                for _ in range(self.prefetch_batches):
+                    pending.append(pool.submit(load_batch, next(it)))
+            except StopIteration:
+                pass
+            while pending:
+                fut = pending.pop(0)
+                try:
+                    pending.append(pool.submit(load_batch, next(it)))
+                except StopIteration:
+                    pass
+                yield fut.result()
+
+
+def device_prefetch(
+    host_iter: Iterable,
+    buffer_size: int = 2,
+    put: Optional[Callable] = None,
+):
+    """Keep `buffer_size` batches already transferred to device.
+
+    `put` maps a host batch to its device form (default jax.device_put;
+    pass e.g. `lambda b: shard_batch(mesh, b)` for pjit sharding). Runs
+    the transfer in a daemon thread so dispatch overlaps the train step.
+    """
+    import jax
+
+    put = put if put is not None else jax.device_put
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    _END = object()
+    err = []
+
+    def worker():
+        try:
+            for batch in host_iter:
+                q.put(put(batch))
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            if err:
+                raise err[0]
+            return
+        yield item

@@ -119,3 +119,37 @@ def test_fast_query_banded_matches_default():
     np.testing.assert_allclose(np.asarray(sig_a), np.asarray(sig_b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dino_a), np.asarray(dino_b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(inv_a), np.asarray(inv_b))
+
+
+def test_quantized_grid_serving_option():
+    """int8 folded grid (build_fast_state(quantize_grid=True)): gathered
+    bytes halve; outputs stay close to the exact bf16/fp32 path."""
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+    key = jax.random.PRNGKey(5)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3))
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    xyz = jnp.concatenate(
+        [jax.random.uniform(key, (1, 128, 2)) * 4 - 2,
+         jax.random.uniform(key, (1, 128, 1)) * 40 + 4], -1)
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        fq = build_fast_state(params, state, cfg, quantize_grid=True)
+        assert fq.folded_grid.dtype == jnp.int8
+        assert fq.grid_scale.shape == (fs.folded_grid.shape[-1],)
+        _, _, sig_a, dino_a = fast_query(fs, cfg, xyz, only_density=True)
+        _, _, sig_b, dino_b = fast_query(fq, cfg, xyz, only_density=True)
+        _, _, sig_c, dino_c = fast_query(fq, cfg, xyz, only_density=True, segments=8, band=8)
+    # int8 quantization error stays small relative to the signal
+    scale = float(jnp.std(sig_a)) + 1e-6
+    assert float(jnp.max(jnp.abs(sig_a - sig_b))) < 0.1 * scale + 0.05
+    cos = jnp.sum(dino_a * dino_b, -1) / (
+        jnp.linalg.norm(dino_a, axis=-1) * jnp.linalg.norm(dino_b, axis=-1) + 1e-9)
+    assert float(jnp.min(cos)) > 0.99
+    # banded path agrees with the plain path on the SAME quantized grid
+    np.testing.assert_allclose(np.asarray(sig_b), np.asarray(sig_c), atol=1e-5)
