@@ -294,12 +294,22 @@ def render_novel_view(
     # few LARGE segments: band-copy traffic is negligible next to the
     # gathers, and big per-take index vectors amortize best (measured)
     segments = height // 4 if height % 4 == 0 else height
-    sampled = bilinear_gather_banded(
-        g2d, px, py, segments=segments, band=band
-    )  # (P, D)
     if fs.grid_scale is not None:
-        # per-channel dequant AFTER the blend (commutes: scale is linear)
+        # int8 grid: quad-pack -> ONE 512 B row per point. At int8 the
+        # packed row re-enters the byte-bound regime (~115 GB/s) at 1/4
+        # the rows — ~2x the exact path's gather rate. Dequant after the
+        # blend (per-channel scale commutes with bilinear).
+        from scenedino_tpu.ops.tile_gather import bilinear_gather_packed_banded
+
+        packed = pack_quads(g2d)
+        sampled = bilinear_gather_packed_banded(
+            packed, Hg, Wg, px, py, segments=segments, band=band
+        )
         sampled = sampled.astype(jnp.float32) * fs.grid_scale
+    else:
+        sampled = bilinear_gather_banded(
+            g2d, px, py, segments=segments, band=band
+        )  # (P, D)
 
     h = (
         sampled.astype(jnp.float32)

@@ -179,6 +179,9 @@ def bilinear_gather_packed_banded(
 
     def blend(rows, w):
         quads = rows.reshape(rows.shape[0], 4, -1)
+        if jnp.issubdtype(rows.dtype, jnp.integer):
+            # int8 (quantized) rows: blend in the weight dtype
+            return jnp.sum(quads.astype(w.dtype) * w[..., None], axis=1)
         return jnp.sum(quads * w[..., None].astype(rows.dtype), axis=1)
 
     def body(args):

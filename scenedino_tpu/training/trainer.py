@@ -36,6 +36,7 @@ class TrainConfig:
 
     lr: float = 1e-4
     encoder_lr_factor: float = 0.1  # ViT fine-tuned at lr/10 (trainer.py:562-574)
+    scheduler_type: str = "step"  # "fix" | "step" (common/scheduler.py)
     scheduler_step: int = 120000
     scheduler_gamma: float = 0.1
     # optimizer steps every k micro-batches on the averaged gradient
@@ -70,8 +71,12 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
     with a step-decay schedule (trainer.py:556-575, scheduler config)."""
 
     def sched(base):
-        return optax.exponential_decay(
-            base, cfg.scheduler_step, cfg.scheduler_gamma, staircase=True
+        from scenedino_tpu.training.scheduler import make_schedule
+
+        return make_schedule(
+            {"type": cfg.scheduler_type, "step_size": cfg.scheduler_step,
+             "gamma": cfg.scheduler_gamma},
+            base,
         )
 
     def label_fn(p):

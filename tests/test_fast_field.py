@@ -153,3 +153,31 @@ def test_quantized_grid_serving_option():
     assert float(jnp.min(cos)) > 0.99
     # banded path agrees with the plain path on the SAME quantized grid
     np.testing.assert_allclose(np.asarray(sig_b), np.asarray(sig_c), atol=1e-5)
+
+
+def test_quantized_novel_view_close_to_exact():
+    """int8 quad-packed novel-view render stays close to the exact path."""
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+    key = jax.random.PRNGKey(7)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3))
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+    pose_n = jnp.eye(4).at[0, 3].set(0.15)
+
+    from scenedino_tpu.ops.fast_field import render_novel_view
+
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        fq = build_fast_state(params, state, cfg, quantize_grid=True)
+        d_a, f_a, r_a = render_novel_view(fs, cfg, pose_n, projs[0, 0], H, W, jax.random.PRNGKey(0), n_coarse=8)
+        d_b, f_b, r_b = render_novel_view(fq, cfg, pose_n, projs[0, 0], H, W, jax.random.PRNGKey(0), n_coarse=8)
+    # depth within ~1% of range, features well-aligned
+    assert float(jnp.mean(jnp.abs(d_a - d_b))) < 0.8
+    cos = jnp.sum(f_a * f_b, -1) / (
+        jnp.linalg.norm(f_a, axis=-1) * jnp.linalg.norm(f_b, axis=-1) + 1e-9)
+    assert float(jnp.mean(cos)) > 0.995
+    assert float(jnp.mean(jnp.abs(r_a - r_b))) < 0.05

@@ -291,3 +291,21 @@ def test_flow_processors():
     occ = np.asarray(out[:, :, 5])
     assert set(np.unique(occ)) <= {0.0, 1.0}
     assert occ.mean() > 0.5
+
+
+def test_lr_schedule_factory():
+    """make_schedule parity with common/scheduler.py: fix = constant,
+    step = gamma^(floor(step/step_size))."""
+    from scenedino_tpu.training.scheduler import make_schedule
+
+    fix = make_schedule({"type": "fix"}, 1e-3)
+    assert float(fix(0)) == float(fix(10**6)) == 1e-3
+    step = make_schedule({"type": "step", "step_size": 100, "gamma": 0.1}, 1.0)
+    assert float(step(0)) == 1.0
+    assert float(step(99)) == 1.0
+    np.testing.assert_allclose(float(step(100)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(step(250)), 0.01, rtol=1e-6)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        make_schedule({"type": "cosine"}, 1.0)
