@@ -65,7 +65,7 @@ def perceptual_processor(images, vgg_params, layers: int = 1):
 PERCEPTUAL_CHANNELS = (64, 128, 256, 512, 512)  # lpips.chns
 
 
-def make_image_processor(config: dict, vgg_params=None, flow_fn=None):
+def make_image_processor(config: dict, vgg_params=None, flow_fn=None, raft_params=None):
     kind = (config or {}).get("type", "RGB").lower()
     if kind == "rgb":
         return rgb_processor
@@ -104,8 +104,28 @@ def make_image_processor(config: dict, vgg_params=None, flow_fn=None):
 
         return run
     if kind == "raft":
-        raise NotImplementedError(
-            "RaftExtractor needs pretrained torchvision RAFT weights, "
-            "which are not bundled; the shipped SceneDINO configs use 'RGB'."
-        )
+        # RaftExtractor (image_processor.py:161-187): frozen RAFT feature
+        # encoder, bilinearly upsampled to image res. Needs converted
+        # torchvision raft_large weights (models/raft.py).
+        if raft_params is None:
+            raise NotImplementedError(
+                "RaftExtractor needs converted torchvision RAFT weights "
+                "(models/raft.py convert_raft_state_dict); none are bundled "
+                "— pass raft_params."
+            )
+        import jax
+
+        from scenedino_tpu.models.raft import RAFTEncoder
+
+        enc = RAFTEncoder(norm="instance")
+
+        def run(images):
+            B, V, C, H, W = images.shape
+            x = images.reshape(B * V, C, H, W).transpose(0, 2, 3, 1)
+            feats = enc.apply({"params": raft_params["feature_encoder"]}, x)
+            feats = feats.transpose(0, 3, 1, 2)  # NCHW at 1/8
+            feats = jax.image.resize(feats, (*feats.shape[:2], H, W), method="bilinear")
+            return feats.reshape(B, V, -1, H, W)
+
+        return run
     raise ValueError(f"unknown image processor: {kind}")
