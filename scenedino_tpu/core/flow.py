@@ -39,9 +39,11 @@ def compute_occlusions(flow0, flow1):
     xy_1 = (xy + flow1_r).reshape(B, 2, -1)
 
     def splat(xy_t):
-        # round target NDC to pixel indices, scatter visibility
-        # (geometry.py:230-234 — note the reference maps x via *h and
-        # y via *w mixed ordering; it rounds y*.5+.5 times h and clamps)
+        # round target NDC to pixel indices, scatter visibility: rows from
+        # y * H, cols from x * W (geometry.py:230-234 — the reference's
+        # nxy tensor packs [batch, x, y], so its index [:, 2] * h is the
+        # row and [:, 1] * w the column; exact parity tested on
+        # non-square inputs in tests/test_misc_components.py)
         py = jnp.clip(jnp.round((xy_t[:, 1] * 0.5 + 0.5) * H).astype(jnp.int32), 0, H - 1)
         px = jnp.clip(jnp.round((xy_t[:, 0] * 0.5 + 0.5) * W).astype(jnp.int32), 0, W - 1)
         mask = jnp.zeros((B, H, W), flow0.dtype)

@@ -121,12 +121,18 @@ def convert_lpips_state_dict(sd: Dict[str, Any], net: str = "alex") -> Dict[str,
     """
     n_stage = 5
     p: Dict[str, Any] = {"trunk": {}}
-    # trunk: torchvision sequential indices of the conv layers
+    # trunk: torchvision sequential indices of the conv layers, and which
+    # lpips slice module each lives in (lpips vgg16: convs 0,2 -> slice1;
+    # 5,7 -> slice2; 10,12,14 -> slice3; 17,19,21 -> slice4;
+    # 24,26,28 -> slice5; alexnet: one conv per slice)
     alex_idx = (0, 3, 6, 8, 10)
     vgg_idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
-    for j, i in enumerate(alex_idx if net == "alex" else vgg_idx):
+    alex_slice = (1, 2, 3, 4, 5)
+    vgg_slice = (1, 1, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5)
+    idxs, slices = (alex_idx, alex_slice) if net == "alex" else (vgg_idx, vgg_slice)
+    for j, (i, sl) in enumerate(zip(idxs, slices)):
         w = None
-        for key in (f"net.{i}.weight", f"net.slice{j + 1}.{i}.weight", f"features.{i}.weight"):
+        for key in (f"net.{i}.weight", f"net.slice{sl}.{i}.weight", f"features.{i}.weight"):
             if key in sd:
                 w = key
                 break

@@ -126,7 +126,10 @@ def lookup_pyramid(pyramid, coords, radius=4):
     B, H, W, _ = coords.shape
     n = 2 * radius + 1
     dx = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    delta = jnp.stack(jnp.meshgrid(dx, dx, indexing="xy"), -1).reshape(-1, 2)  # (n*n, 2)
+    # torchvision CorrBlock builds the window with meshgrid(...,"ij"): the
+    # FIRST (x) offset varies slowest over the flattened taps — the
+    # channel order converted motion-encoder weights expect
+    delta = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), -1).reshape(-1, 2)  # (n*n, 2)
 
     out = []
     for lvl, corr in enumerate(pyramid):

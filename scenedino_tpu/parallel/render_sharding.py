@@ -17,16 +17,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def render_rays_sharded(
+def make_sharded_renderer(
     field_fn: Callable,
-    rays: jnp.ndarray,  # (B, R, >=8); R must divide by mesh size
-    key: jax.Array,
     rcfg,
     mesh: Mesh,
     axis_name: str = "data",
     **render_kwargs,
-) -> Dict:
-    """render_rays with the ray axis sharded over `mesh`.
+) -> Callable:
+    """Build a jitted `(rays, key) -> out` renderer with the ray axis
+    sharded over `mesh`. Build ONCE per scene/config and reuse — the
+    compiled executable is cached on the returned callable, so rendering
+    N frames compiles once (a fresh closure per frame would retrace).
 
     Ray-axis sharding constraints on the inputs/outputs let XLA partition
     the whole render; the field state captured in `field_fn` is
@@ -36,6 +37,7 @@ def render_rays_sharded(
 
     ray_sh = NamedSharding(mesh, P(None, axis_name))
 
+    @jax.jit
     def fn(r, k):
         r = jax.lax.with_sharding_constraint(r, ray_sh)
         out = render_rays(field_fn, r, k, rcfg, **render_kwargs)
@@ -46,4 +48,16 @@ def render_rays_sharded(
             out,
         )
 
-    return jax.jit(fn)(jax.device_put(rays, ray_sh), key)
+    def run(rays, key):
+        return fn(jax.device_put(rays, ray_sh), key)
+
+    return run
+
+
+def render_rays_sharded(field_fn, rays, key, rcfg, mesh, axis_name="data", **render_kwargs) -> Dict:
+    """One-shot convenience wrapper over `make_sharded_renderer`.
+
+    NOTE: builds (and compiles) a fresh renderer per call — for loops over
+    frames use make_sharded_renderer once and reuse the returned callable.
+    """
+    return make_sharded_renderer(field_fn, rcfg, mesh, axis_name, **render_kwargs)(rays, key)

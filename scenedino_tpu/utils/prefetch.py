@@ -103,22 +103,46 @@ def device_prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     _END = object()
     err = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Bounded put that aborts when the consumer is gone — otherwise
+        an abandoned generator would pin buffer_size device-resident
+        batches (and this thread) for the process lifetime."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for batch in host_iter:
-                q.put(put(batch))
+                if stop.is_set() or not _put(put(batch)):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # consumer closed early (break / exception / GeneratorExit):
+        # release the worker and drop any buffered device batches
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -134,3 +134,25 @@ def test_nvs_metrics_with_lpips_hook():
     assert m["lpips"] == 0.0
     # 5% crop applied before LPIPS
     assert calls["shapes"][0][-2:] == (28, 42)
+
+
+def test_lpips_vgg_converter_accepts_sliced_schema():
+    """The lpips package exports vgg trunk keys as net.slice{s}.{i}.*
+    (convs 0,2|5,7|10,12,14|17,19,21|24,26,28) — the converter must find
+    them under the real slice numbers."""
+    rs = np.random.RandomState(4)
+    sd = {}
+    vgg_idx = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+    vgg_slice = (1, 1, 2, 2, 3, 3, 3, 4, 4, 4, 5, 5, 5)
+    chans = [3, 64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512]
+    outs = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    for j, (i, sl) in enumerate(zip(vgg_idx, vgg_slice)):
+        sd[f"net.slice{sl}.{i}.weight"] = rs.randn(outs[j], chans[j], 3, 3).astype(np.float32) * 0.05
+        sd[f"net.slice{sl}.{i}.bias"] = np.zeros(outs[j], np.float32)
+    for k, c in enumerate((64, 128, 256, 512, 512)):
+        sd[f"lin{k}.model.1.weight"] = rs.rand(1, c, 1, 1).astype(np.float32)
+    params = convert_lpips_state_dict(sd, net="vgg")
+    model = LPIPS(net="vgg")
+    d = np.asarray(model.apply({"params": params}, jnp.zeros((1, 3, 64, 64)),
+                               jnp.ones((1, 3, 64, 64)) * 0.3))
+    assert d.shape == (1,) and np.isfinite(d).all()

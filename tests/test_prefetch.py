@@ -113,3 +113,26 @@ def test_render_rays_sharded_matches_single_device():
         np.asarray(out["coarse"]["dino_features"]),
         np.asarray(ref["coarse"]["dino_features"]), atol=1e-5
     )
+
+
+def test_device_prefetch_early_close_releases_worker():
+    """Abandoning the generator early must stop the worker thread and
+    drain buffered batches (no leaked device memory / threads)."""
+    import threading
+
+    produced = []
+
+    def slow_source():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((2,), i)}
+
+    before = threading.active_count()
+    it = device_prefetch(slow_source(), buffer_size=2)
+    next(it)
+    next(it)
+    it.close()  # GeneratorExit path
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1
+    # the worker stopped far short of the 100-item source
+    assert len(produced) < 20, len(produced)

@@ -197,3 +197,21 @@ def test_raft_extractor_processor():
     out = proc(jnp.zeros((1, 2, 3, 64, 64)))
     assert out.shape == (1, 2, 256, 64, 64)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_lookup_pyramid_tap_order_x_varies_slowest():
+    """The flattened window's FIRST (x) offset varies slowest (torchvision
+    CorrBlock meshgrid indexing="ij") — converted weights depend on it."""
+    B, H, W, C = 1, 5, 5, 4
+    rs = np.random.RandomState(3)
+    f1 = jnp.asarray(rs.randn(B, H, W, C).astype(np.float32))
+    pyr = correlation_pyramid(f1, f1, num_levels=1)
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32),
+                         np.arange(W, dtype=np.float32), indexing="ij")
+    coords = jnp.asarray(np.stack([xs, ys], -1)[None])
+    out = np.asarray(lookup_pyramid(pyr, coords, radius=1))  # (1, H, W, 9)
+    corr0 = np.asarray(pyr[0]).reshape(H, W, H, W)
+    # tap index 1 = (dx=-1 slowest, dy=0): correlation at (y, x-1)
+    np.testing.assert_allclose(out[0, 2, 2, 1], corr0[2, 2, 2, 1], atol=1e-5)
+    # tap index 3 = (dx=0, dy=-1): correlation at (y-1, x)
+    np.testing.assert_allclose(out[0, 2, 2, 3], corr0[2, 2, 1, 2], atol=1e-5)
