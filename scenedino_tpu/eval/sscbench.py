@@ -269,6 +269,79 @@ def compute_occupancy_recall_segmentation(y_pred, y_true, fov_mask):
     return tp, total
 
 
+SEARCH_VALUES = (10e-1, 10e-2, 10e-3, 10e-4, 10e-5, 10e-6, 10e-7)  # :55
+SIGMA_VALUES = (1, 0.5, 0.25, 0.1, 0.05, 0.025, 0.01, 0.005, 0.0025, 0.001)  # :63
+
+
+@dataclasses.dataclass
+class SigmaDiagnostics:
+    """TEST_ALPHA_CUTOFFS per-class sigma-cutoff search + the
+    CREATE_SIGMA_TRADEOFF precision/recall curve
+    (evaluate_model_sscbench.py:302-304,473-492,616-640).
+
+    Feed RAW (pre-cutoff) segs/sigmas per frame; `best_cutoffs()` returns
+    the per-class sigma value maximizing IoU, `tradeoff_curve()` the
+    (sigma, precision, recall, iou) table."""
+
+    cutoff_results: Dict = dataclasses.field(
+        default_factory=lambda: {
+            i: {sv: np.zeros(4) for sv in SEARCH_VALUES} for i in range(1, 16)
+        }
+    )
+    trade_off_values: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((len(SIGMA_VALUES), 4))
+    )
+
+    def add_frame(self, sigmas, segs, voxel_gt, fov_mask, use_additional_invalids=True):
+        segs = convert_voxels(segs, CITYSCAPES_TO_LABEL)
+        target = convert_voxels(voxel_gt.astype(int), SSCBENCH_TO_LABEL)
+        if use_additional_invalids:
+            inv = identify_additional_invalids(target)
+            target = np.where(inv, 255, target)
+
+        for i in range(1, 16):
+            for sv in SEARCH_VALUES:
+                tmp = segs.copy()
+                tmp[np.logical_and(segs == i, sigmas < sv)] = 0
+                tps, fps, tns, fns, _ = compute_occupancy_numbers_segmentation(
+                    tmp, target, fov_mask
+                )
+                self.cutoff_results[i][sv] += np.array(
+                    [tps[i - 1], fps[i - 1], tns[i - 1], fns[i - 1]]
+                )
+        for j, val in enumerate(SIGMA_VALUES):
+            tmp = segs.copy()
+            tmp[sigmas < val] = 0
+            self.trade_off_values[j] += np.array(
+                compute_occupancy_numbers(tmp, target, fov_mask)
+            )
+
+    def best_cutoffs(self) -> Dict[int, float]:
+        """Per-class sigma cutoff maximizing IoU (:616-625)."""
+        out = {}
+        for i in range(1, 16):
+            ious = []
+            for sv in SEARCH_VALUES:
+                tp, fp, tn, fn = self.cutoff_results[i][sv]
+                ious.append(tp / max(tp + fp + fn, 1e-9))
+            out[i] = SEARCH_VALUES[int(np.argmax(ious))]
+        return out
+
+    def tradeoff_curve(self):
+        """(sigma, precision, recall, iou) rows of the tradeoff plot
+        (:627-640) — the plot's underlying numbers, no matplotlib."""
+        rows = []
+        for j, val in enumerate(SIGMA_VALUES):
+            tp, fp, tn, fn = self.trade_off_values[j]
+            rows.append((
+                val,
+                float(100 * tp / max(tp + fp, 1e-9)),
+                float(100 * tp / max(tp + fn, 1e-9)),
+                float(100 * tp / max(tp + fp + fn, 1e-9)),
+            ))
+        return rows
+
+
 @dataclasses.dataclass
 class SSCAccumulator:
     """Running per-range stats (evaluate_model_sscbench.py:284-299)."""

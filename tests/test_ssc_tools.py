@@ -72,3 +72,48 @@ def test_summarize_includes_recall_seg():
     r = out[51.2]["occupancy_recall_seg"]
     assert r.shape == (15,)
     assert r[0] > 0  # car voxels predicted occupied
+
+
+def test_sigma_diagnostics_cutoff_search_and_tradeoff():
+    """Per-class alpha-cutoff search + sigma tradeoff curve
+    (evaluate_model_sscbench.py:473-492,616-640)."""
+    import numpy as np
+
+    from scenedino_tpu.eval import sscbench as S
+
+    # scene: GT says class "road" (cityscapes id 7 -> label 1... use raw
+    # label space directly via inverse maps). Build in LABEL space by
+    # passing through identity-friendly inputs: pick cityscapes ids that
+    # map to label 1 (road).
+    road_cs = next(k for k, v in S.CITYSCAPES_TO_LABEL.items() if v == 1)
+    gt_raw = next(
+        k for k, v in S.SSCBENCH_TO_LABEL.items() if v == 1 and k != 255
+    )
+
+    shape = (256, 256, 32)
+    segs = np.zeros(shape, np.int64)
+    sigmas = np.zeros(shape, np.float32)
+    gt = np.zeros(shape, np.int64)
+    fov = np.ones(shape, bool)
+
+    # true road voxels predicted with HIGH sigma
+    segs[:10, :10, :10] = road_cs
+    sigmas[:10, :10, :10] = 0.5
+    gt[:10, :10, :10] = gt_raw
+    # false road predictions with LOW sigma (should be cut)
+    segs[50:80, 50:80, :10] = road_cs
+    sigmas[50:80, 50:80, :10] = 3e-3
+
+    diag = S.SigmaDiagnostics()
+    diag.add_frame(sigmas, segs, gt, fov, use_additional_invalids=False)
+
+    best = diag.best_cutoffs()
+    # cutting above 3e-3 removes the FP blob without touching the real
+    # road at 0.5: best cutoff for class 1 must be in (3e-3, 0.5]
+    assert 3e-3 < best[1] <= 0.5, best[1]
+
+    rows = diag.tradeoff_curve()
+    assert len(rows) == len(S.SIGMA_VALUES)
+    # precision improves as sigma cutoff rises past the FP blob's sigma
+    prec = {r[0]: r[1] for r in rows}
+    assert prec[0.025] > prec[0.001]
