@@ -65,6 +65,27 @@ def perceptual_processor(images, vgg_params, layers: int = 1):
 PERCEPTUAL_CHANNELS = (64, 128, 256, 512, 512)  # lpips.chns
 
 
+def automasking_wrapper(processor):
+    """AutoMaskingWrapper (image_processor.py:264-282): append a per-pixel
+    automasking-threshold channel to the processed images
+    (`channels = inner.channels + 1`).
+
+    NOTE: the reference's forward uses torch.stack(dim=2) on tensors of
+    mismatched channel counts, which cannot run — the declared channel
+    count shows concatenation was intended; implemented as concat.
+    """
+
+    def run(images, threshold):
+        B, V, C, H, W = images.shape
+        proc = processor(images)
+        thr = jnp.broadcast_to(
+            threshold.reshape(B, 1, 1, H, W), (B, V, 1, H, W)
+        ).astype(proc.dtype)
+        return jnp.concatenate([proc, thr], axis=2)
+
+    return run
+
+
 def make_image_processor(config: dict, vgg_params=None, flow_fn=None, raft_params=None):
     kind = (config or {}).get("type", "RGB").lower()
     if kind == "rgb":

@@ -309,3 +309,18 @@ def test_lr_schedule_factory():
 
     with pytest.raises(NotImplementedError):
         make_schedule({"type": "cosine"}, 1.0)
+
+
+def test_automasking_wrapper():
+    """AutoMaskingWrapper parity (image_processor.py:264-282): threshold
+    channel appended per view."""
+    from scenedino_tpu.core.image_processor import automasking_wrapper, rgb_processor
+
+    proc = automasking_wrapper(rgb_processor)
+    imgs = jnp.zeros((2, 3, 3, 4, 6))
+    thr = jnp.arange(2 * 4 * 6, dtype=jnp.float32).reshape(2, 4, 6) / 48.0
+    out = proc(imgs, thr)
+    assert out.shape == (2, 3, 4, 4, 6)
+    np.testing.assert_allclose(np.asarray(out[:, 0, 3]), np.asarray(thr))
+    np.testing.assert_allclose(np.asarray(out[:, 2, 3]), np.asarray(thr))
+    assert float(out[0, 0, 0, 0, 0]) == 0.5
