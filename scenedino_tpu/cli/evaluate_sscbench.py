@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--calib", default=None, help="semantic-KITTI-style calib.txt (defaults to the SSCBench-KITTI-360 release values)")
     ap.add_argument("--slow", action="store_true", help="use the unfolded full-field query path (reference semantics bit-path; ~10x slower)")
+    ap.add_argument("--test-alpha-cutoffs", action="store_true",
+                    help="per-class sigma-cutoff search + precision/recall tradeoff (TEST_ALPHA_CUTOFFS parity)")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +117,7 @@ def main():
 
     predict = S.make_grid_predictor(query_fn, coherent=fast)
     acc = S.SSCAccumulator()
+    diag = S.SigmaDiagnostics() if args.test_alpha_cutoffs else None
 
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
     t_total = 0.0
@@ -131,6 +134,8 @@ def main():
         segs = np.asarray(segs)
         t_total += time.perf_counter() - t0
         acc.add_frame(sigmas, segs, sample["voxel_gt"], fov3)
+        if diag is not None:
+            diag.add_frame(sigmas, segs, sample["voxel_gt"], fov3)
         if (i + 1) % 50 == 0:
             part = acc.summarize()[51.2]
             logging.info(
@@ -148,6 +153,12 @@ def main():
         for size, r in results.items()
     }
     table["sec_per_frame"] = t_total / max(n, 1)
+    if diag is not None:
+        table["best_alpha_cutoffs"] = {str(k): v for k, v in diag.best_cutoffs().items()}
+        table["sigma_tradeoff"] = [
+            {"sigma": s_, "precision": p_, "recall": r_, "iou": i_}
+            for s_, p_, r_, i_ in diag.tradeoff_curve()
+        ]
     print(json.dumps(table, indent=2))
 
 
