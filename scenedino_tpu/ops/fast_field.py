@@ -320,6 +320,11 @@ def render_novel_view(
         + fs.b1
     )
     h = jax.nn.relu(h)
+    if fs.w2.dtype == jnp.bfloat16:
+        # the (P, 128) activation is ~2 GB fp32 at full-frame scale; its
+        # HBM round trip between the two matmuls is pure bandwidth — store
+        # it bf16 on the bf16 (serving) path (fp32 path stays exact)
+        h = h.astype(jnp.bfloat16)
     out = (
         jnp.einsum("pd,de->pe", h.astype(fs.w2.dtype), fs.w2,
                    preferred_element_type=jnp.float32)
