@@ -184,6 +184,71 @@ def get_dino_artifacts(art: np.ndarray) -> np.ndarray:
     return get_dino_pca(art)
 
 
+def flow_to_image(flow: np.ndarray) -> np.ndarray:
+    """Optical flow (H, W, 2) -> Middlebury color-wheel rgb (H, W, 3) in
+    [0, 1] (the torchvision flow_to_image convention the reference's flow
+    builders feed TB, vis_2d.py:379-400: hue = direction, saturation =
+    magnitude normalized by the max over the image)."""
+    f = np.asarray(flow, np.float32)
+    u, v = f[..., 0], f[..., 1]
+    mag = np.sqrt(u * u + v * v)
+    mag = mag / max(float(mag.max()), 1e-6)
+    ang = np.arctan2(-v, -u) / np.pi  # [-1, 1]
+    hue = (ang + 1.0) / 2.0
+    import colorsys
+
+    # vectorized HSV->RGB (S = mag, V = 1)
+    h6 = hue * 6.0
+    i = np.floor(h6).astype(np.int32) % 6
+    frac = h6 - np.floor(h6)
+    p = 1.0 - mag
+    q = 1.0 - mag * frac
+    t = 1.0 - mag * (1.0 - frac)
+    one = np.ones_like(mag)
+    lut = np.stack(
+        [
+            np.stack([one, t, p], -1),
+            np.stack([q, one, p], -1),
+            np.stack([p, one, t], -1),
+            np.stack([p, q, one], -1),
+            np.stack([t, p, one], -1),
+            np.stack([one, p, q], -1),
+        ],
+        0,
+    )  # (6, H, W, 3)
+    return np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
+
+
+def get_flow(flow_fwd: np.ndarray, flow_bwd: np.ndarray) -> np.ndarray:
+    """Side-by-side fwd/bwd flow panels (get_flow, vis_2d.py:440-456)."""
+    return np.concatenate([flow_to_image(flow_fwd), flow_to_image(flow_bwd)], axis=1)
+
+
+def get_rendered_flow(flow_ndc: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Rendered NDC scene-flow channels -> pixel flow color image
+    (get_rendered_flow, vis_2d.py:379-400: NDC deltas scaled by (W/2, H/2))."""
+    f = np.asarray(flow_ndc, np.float32)
+    fpix = np.stack([f[..., 0] * 0.5 * width, f[..., 1] * 0.5 * height], -1)
+    return flow_to_image(fpix)
+
+
+def get_occlusions(occ_fwd: np.ndarray, occ_bwd: np.ndarray) -> np.ndarray:
+    """Fwd/bwd occlusion masks side by side (vis_2d.py:426-438)."""
+    occ = np.concatenate([np.asarray(occ_fwd), np.asarray(occ_bwd)], axis=-1)
+    return colormap(_norm01(occ))
+
+
+def get_predicted_occlusions(occ: np.ndarray) -> np.ndarray:
+    """Predicted occlusion channel of the ray gt (vis_2d.py:404-412)."""
+    return colormap(_norm01(occ))
+
+
+def get_depth_direct(depths: np.ndarray) -> np.ndarray:
+    """Dataset gt depth -> inverse-depth heat map (vis_2d.py:415-423)."""
+    d = np.asarray(depths, np.float32)
+    return colormap(_norm01(1.0 / np.maximum(d, 1e-6)))
+
+
 def tb_visualize(data: Dict[str, np.ndarray], z_near=3.0, z_far=80.0) -> Dict[str, np.ndarray]:
     """Build the standard panel dict from render outputs (vis_2d.py:457-515
     dispatch)."""
@@ -223,4 +288,16 @@ def tb_visualize(data: Dict[str, np.ndarray], z_near=3.0, z_far=80.0) -> Dict[st
         out["downsample_weight"] = get_downsampling_weight(data["downsample_weight"])
     if "downsample_salience" in data:
         out["downsample_salience"] = get_downsampling_salience(data["downsample_salience"])
+    if "flows_fwd" in data and "flows_bwd" in data:
+        out["flow"] = get_flow(data["flows_fwd"], data["flows_bwd"])
+    if "rendered_flow" in data:
+        out["rendered_flow"] = get_rendered_flow(
+            data["rendered_flow"], *data["rendered_flow"].shape[:2]
+        )
+    if "occs_fwd" in data and "occs_bwd" in data:
+        out["occlusions"] = get_occlusions(data["occs_fwd"], data["occs_bwd"])
+    if "occ_pred" in data:
+        out["predicted_occlusions"] = get_predicted_occlusions(data["occ_pred"])
+    if "depths" in data:
+        out["depth_direct"] = get_depth_direct(data["depths"])
     return out

@@ -28,8 +28,23 @@ def make_backbone(conf: Dict[str, Any]) -> nn.Module:
             scales=tuple(conf.get("scales", (0, 1, 2, 3))),
             num_ch_dec=tuple(conf["num_ch_dec"]) if conf.get("num_ch_dec") else None,
         )
+    if kind == "spatial":
+        from scenedino_tpu.models.pixelnerf import SpatialEncoder
+
+        return SpatialEncoder(
+            backbone=conf.get("backbone", "resnet34"),
+            num_layers=conf.get("num_layers", 4),
+            use_first_pool=conf.get("use_first_pool", True),
+        )
+    if kind == "global":
+        from scenedino_tpu.models.pixelnerf import ImageEncoder
+
+        return ImageEncoder(
+            backbone=conf.get("backbone", "resnet34"),
+            latent_size=conf.get("latent_size", 128),
+        )
     raise NotImplementedError(
-        f"backbone '{kind}': only the dino stack and monodepth2 (S4C "
-        "baseline) are implemented; spatial/ibrnet are unused legacy paths "
-        "of the reference"
+        f"backbone '{kind}': dino stack, monodepth2 (S4C baseline), "
+        "spatial (pixelNeRF), and global are implemented; ibrnet is an "
+        "unused legacy path of the reference"
     )

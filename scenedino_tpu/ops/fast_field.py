@@ -356,6 +356,192 @@ def render_novel_view(
     return depth, dino_out, rgb_out
 
 
+def render_novel_view_fused(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    target_pose_c2w: jnp.ndarray,  # (4, 4) cam2world of the NOVEL camera
+    target_k: jnp.ndarray,  # (3, 3) normalized intrinsics
+    height: int,
+    width: int,
+    key,
+    n_coarse: int = 32,
+    lindisp: bool = True,
+    hard_alpha_cap: bool = True,
+    band: int = 64,
+    want_rgb: bool = True,
+    rows_per_seg: int = 4,
+):
+    """`render_novel_view` with the WHOLE per-point pipeline fused into the
+    per-segment `lax.map` body.
+
+    The unfused path materializes several (P, 128) fp32 intermediates in
+    HBM between the gather map and the MLP einsums (P = H*W*K ~ 4M points
+    -> ~2 GB each): pure bandwidth. Here each segment (rows_per_seg target
+    rows x K samples x W columns) runs projection -> positional code ->
+    banded bilinear gather -> folded MLP -> softplus -> alpha compositing
+    -> rgb gather + weighting entirely inside the map body, so only
+    per-ray outputs (depth, dino, rgb: ~70 B/ray) are ever written out.
+    Numerically identical to `render_novel_view` up to fp reassociation
+    (same blends, same einsum dtypes/precisions, same banding segments
+    when rows_per_seg = 4).
+
+    Returns (depth (H, W), dino (H, W, d_out-1), rgb (H, W, 3) | None).
+    """
+    from scenedino_tpu.core import compositing as C
+    from scenedino_tpu.core import rays as rays_mod
+    from scenedino_tpu.core import sampling as S
+    from scenedino_tpu.ops.tile_gather import _corners, _blend, _quad_weights
+
+    B, V = fs.folded_grid.shape[:2]
+    assert B == 1 and V == 1, "novel-view fast render expects 1 encode view"
+    if fs.grid_scale is not None:
+        raise NotImplementedError("fused path is exact-only (no int8 grid)")
+    assert height % rows_per_seg == 0
+    K = n_coarse
+    r, _ = rays_mod.rays_from_k(
+        target_pose_c2w[None], target_k[None], width, height, cfg.z_near, cfg.z_far
+    )
+    flat = r.reshape(-1, 8)  # (R, 8) row-major target pixels
+    k_coarse = jax.random.split(key, 4)[0]
+    z = S.sample_coarse(k_coarse, flat, K, lindisp)  # (R, K)
+
+    S_n = height // rows_per_seg
+    rw = rows_per_seg * width
+    rays_seg = flat.reshape(S_n, rw, 8)
+    z_seg = z.reshape(S_n, rw, K)
+
+    g2d = fs.folded_grid[0, 0]  # (Hg, Wg, D)
+    Hg, Wg, D = g2d.shape
+    flat_grid = g2d.reshape(Hg * Wg, D)
+    band_c = min(band, Hg)
+
+    # single-view projection constants (fp32, full precision like
+    # cameras.project_points)
+    frot = fs.feat_w2c[0, 0, :3, :3]
+    ftrans = fs.feat_w2c[0, 0, :3, 3]
+    fK = fs.feat_ks[0, 0]
+    if want_rgb:
+        from scenedino_tpu.ops.tile_gather import pack_quads
+
+        img = fs.color_imgs[0, 0]
+        Hc, Wc = img.shape[:2]
+        packed_rgb = pack_quads(img)
+        crot = fs.color_w2c[0, 0, :3, :3]
+        ctrans = fs.color_w2c[0, 0, :3, 3]
+        cK = fs.color_ks[0, 0]
+
+    _hi = jax.lax.Precision.HIGHEST
+
+    def project(pts, rot, trans, Kmat):
+        cam = (
+            jnp.einsum("ij,pj->pi", rot, pts, precision=_hi) + trans
+        )  # (P, 3)
+        proj = jnp.einsum("ij,pj->pi", Kmat, cam, precision=_hi)
+        zc = proj[:, 2:3]
+        xy = proj[:, :2] / jnp.maximum(zc, cameras.EPS)
+        xy = jnp.clip(xy, -2.0, 2.0)
+        return xy, zc, cam
+
+    def body(args):
+        rays_s, z_s = args  # (rw, 8), (rw, K)
+        pts = rays_s[:, None, :3] + z_s[..., None] * rays_s[:, None, 3:6]
+        # (row, sample, col) ordering -> y-coherent gather segments
+        pts = (
+            pts.reshape(rows_per_seg, width, K, 3)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 3)
+        )  # (P_seg, 3)
+        xy, zc, cam = project(pts, frot, ftrans, fK)
+        if cfg.code_mode == "z":
+            depth_like = zc
+        else:
+            depth_like = jnp.linalg.norm(cam, axis=-1, keepdims=True)
+        zn = encoding.normalize_z(depth_like, cfg.z_near, cfg.z_far, inv_z=cfg.inv_z)
+        code = encoding.positional_encoding(
+            jnp.concatenate([xy, zn], -1),
+            cfg.num_freqs,
+            cfg.freq_factor,
+            cfg.include_input,
+        )  # (P_seg, code_dims)
+
+        px = (xy[:, 0] + 1.0) * 0.5 * Wg - 0.5
+        py = (xy[:, 1] + 1.0) * 0.5 * Hg - 0.5
+        (y0i, x0i, y1i, x1i), (wx, wy) = _corners(px, py, Hg, Wg)
+        r0 = jnp.clip(jnp.min(y0i), 0, Hg - band_c)
+        ok = jnp.all(y1i < r0 + band_c) & jnp.all(y0i >= r0)
+
+        def banded():
+            bandtab = jax.lax.dynamic_slice(g2d, (r0, 0, 0), (band_c, Wg, D))
+            ftab = bandtab.reshape(band_c * Wg, D)
+            ly0 = (y0i - r0) * Wg
+            ly1 = jnp.clip(y1i - r0, 0, band_c - 1) * Wg
+            v00 = jnp.take(ftab, ly0 + x0i, axis=0)
+            v01 = jnp.take(ftab, ly0 + x1i, axis=0)
+            v10 = jnp.take(ftab, ly1 + x0i, axis=0)
+            v11 = jnp.take(ftab, ly1 + x1i, axis=0)
+            return _blend(v00, v01, v10, v11, wx, wy)
+
+        def plain():
+            v00 = jnp.take(flat_grid, y0i * Wg + x0i, axis=0)
+            v01 = jnp.take(flat_grid, y0i * Wg + x1i, axis=0)
+            v10 = jnp.take(flat_grid, y1i * Wg + x0i, axis=0)
+            v11 = jnp.take(flat_grid, y1i * Wg + x1i, axis=0)
+            return _blend(v00, v01, v10, v11, wx, wy)
+
+        sampled = jax.lax.cond(ok, banded, plain)  # (P_seg, D)
+
+        h = (
+            sampled.astype(jnp.float32)
+            + jnp.einsum(
+                "pc,cd->pd",
+                code.astype(fs.w_code.dtype),
+                fs.w_code,
+                preferred_element_type=jnp.float32,
+            )
+            + fs.b1
+        )
+        h = jax.nn.relu(h)
+        if fs.w2.dtype == jnp.bfloat16:
+            h = h.astype(jnp.bfloat16)
+        out = (
+            jnp.einsum(
+                "pd,de->pe",
+                h.astype(fs.w2.dtype),
+                fs.w2,
+                preferred_element_type=jnp.float32,
+            )
+            + fs.b2
+        )  # (P_seg, d_out)
+
+        sigma = out[:, 0].reshape(rows_per_seg, K, width)
+        sigma = jax.nn.softplus(sigma.transpose(0, 2, 1).reshape(rw, K))
+        comp = C.composite_rays(sigma, z_s, hard_alpha_cap)
+        w_hwk = comp.weights.reshape(rows_per_seg, width, K)
+
+        dino = out[:, 1:].reshape(rows_per_seg, K, width, -1)
+        dino_out = jnp.einsum("hwk,hkwd->hwd", w_hwk, dino).reshape(rw, -1)
+
+        if want_rgb:
+            xy_c, _, _ = project(pts, crot, ctrans, cK)
+            cx = (xy_c[:, 0] + 1.0) * 0.5 * Wc - 0.5
+            cy = (xy_c[:, 1] + 1.0) * 0.5 * Hc - 0.5
+            cy0, cx0, w4 = _quad_weights(cx, cy, Hc, Wc)
+            rows = jnp.take(packed_rgb, cy0 * Wc + cx0, axis=0)
+            quads = rows.reshape(rows.shape[0], 4, -1)
+            rgb_s = jnp.sum(quads * w4[..., None].astype(rows.dtype), axis=1)
+            rgb_k = rgb_s.reshape(rows_per_seg, K, width, 3).astype(jnp.float32)
+            rgb_out = jnp.einsum("hwk,hkwd->hwd", w_hwk, rgb_k).reshape(rw, 3)
+        else:
+            rgb_out = jnp.zeros((rw, 3), jnp.float32)
+        return comp.depth, dino_out, rgb_out
+
+    depth, dino, rgb = jax.lax.map(body, (rays_seg, z_seg))
+    depth = depth.reshape(height, width)
+    dino = dino.reshape(height, width, -1)
+    rgb = rgb.reshape(height, width, 3) if want_rgb else None
+    return depth, dino, rgb
+
+
 def fast_query(
     fs: FastFieldState,
     cfg: FieldConfig,

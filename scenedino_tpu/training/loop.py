@@ -183,6 +183,11 @@ def run_validation(
     return state
 
 
+class TrialPruned(Exception):
+    """Raised to abort a sweep trial (optuna.TrialPruned stand-in when
+    optuna itself is absent)."""
+
+
 def fit(
     state,
     train_step: Callable,
@@ -192,6 +197,7 @@ def fit(
     validators: Optional[Dict[str, Any]] = None,
     update_model_fn: Optional[Callable] = None,
     steps_per_epoch: Optional[int] = None,
+    sweep_trial: Optional[Any] = None,
 ):
     """Run the training loop; returns the final state.
 
@@ -199,6 +205,11 @@ def fit(
     validators: name -> `validation.Validator` (or plain fn(state) ->
     metrics); `update_model_fn(state, metrics)` may return a modified state
     (the pseudo-assignment write-back, base_trainer.py:446-474).
+    sweep_trial: optuna-style trial for hyperparameter sweeps
+    (base_trainer.py:131-134): after each validation pass the running best
+    score of the "validation" validator is `report(score, iteration)`ed,
+    and `should_prune()` aborts the run with TrialPruned (optuna's own
+    class when optuna is importable).
     """
     from scenedino_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
@@ -259,6 +270,15 @@ def fit(
                     state = run_validation(
                         state, it, validators, vkey, tb, cfg, best, update_model_fn
                     )
+                    if sweep_trial is not None and "validation" in best:
+                        sweep_trial.report(best["validation"], it)
+                        if sweep_trial.should_prune():
+                            try:
+                                import optuna
+
+                                raise optuna.TrialPruned()
+                            except ImportError:
+                                raise TrialPruned(f"pruned at iter {it}")
 
                 if cfg.stop_iteration and it >= cfg.stop_iteration:
                     logger.info("stop_iteration %d reached", cfg.stop_iteration)

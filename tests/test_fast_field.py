@@ -181,3 +181,43 @@ def test_quantized_novel_view_close_to_exact():
         jnp.linalg.norm(f_a, axis=-1) * jnp.linalg.norm(f_b, axis=-1) + 1e-9)
     assert float(jnp.mean(cos)) > 0.995
     assert float(jnp.mean(jnp.abs(r_a - r_b))) < 0.05
+
+
+def test_render_novel_view_fused_matches_unfused():
+    """The fully in-map fused renderer reproduces render_novel_view
+    (same banding segments at rows_per_seg=4, fp reassociation only)."""
+    from scenedino_tpu.ops.fast_field import render_novel_view, render_novel_view_fused
+
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3)
+    )
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    c, s = np.cos(0.05), np.sin(0.05)
+    rot = jnp.asarray(np.array([[c, 0, s, 0.2], [0, 1, 0, -0.1], [-s, 0, c, 0.1], [0, 0, 0, 1]], np.float32))
+    tgt_k = projs[0, 0]
+    rkey = jax.random.PRNGKey(7)
+
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        d0, f0, r0 = render_novel_view(fs, cfg, rot, tgt_k, H, W, rkey, n_coarse=8, band=8)
+        d1, f1, r1 = render_novel_view_fused(fs, cfg, rot, tgt_k, H, W, rkey, n_coarse=8, band=8)
+
+    assert np.allclose(np.asarray(d0), np.asarray(d1), atol=1e-4), np.abs(np.asarray(d0) - np.asarray(d1)).max()
+    assert np.allclose(np.asarray(f0), np.asarray(f1), atol=1e-4)
+    assert np.allclose(np.asarray(r0), np.asarray(r1), atol=1e-4)
+
+    # code_mode=distance branch + want_rgb=False
+    cfg_d = FieldConfig(dino_dims=6, code_mode="distance")
+    with jax.default_matmul_precision("highest"):
+        d2, f2, r2 = render_novel_view_fused(fs, cfg_d, rot, tgt_k, H, W, rkey, n_coarse=8, band=8, want_rgb=False)
+    assert r2 is None
+    assert np.isfinite(np.asarray(d2)).all() and np.isfinite(np.asarray(f2)).all()

@@ -324,3 +324,46 @@ def test_automasking_wrapper():
     np.testing.assert_allclose(np.asarray(out[:, 0, 3]), np.asarray(thr))
     np.testing.assert_allclose(np.asarray(out[:, 2, 3]), np.asarray(thr))
     assert float(out[0, 0, 0, 0, 0]) == 0.5
+
+
+def test_flow_vis_builders():
+    """Flow color wheel + flow-family panels (vis_2d.py:379-456 parity)."""
+    import numpy as np
+    from scenedino_tpu.eval import vis2d
+
+    H, W = 8, 12
+    rng = np.random.RandomState(0)
+    flow = rng.randn(H, W, 2).astype(np.float32)
+    img = vis2d.flow_to_image(flow)
+    assert img.shape == (H, W, 3) and img.min() >= 0 and img.max() <= 1
+    # pure +x flow and pure -x flow get opposite hues
+    fx = np.zeros((2, 2, 2), np.float32)
+    fx[..., 0] = 3.0
+    a = vis2d.flow_to_image(fx)
+    b = vis2d.flow_to_image(-fx)
+    assert not np.allclose(a, b)
+    # zero flow is white (no saturation)
+    z = vis2d.flow_to_image(np.zeros((2, 2, 2), np.float32))
+    np.testing.assert_allclose(z, 1.0, atol=1e-6)
+
+    pair = vis2d.get_flow(flow, -flow)
+    assert pair.shape == (H, 2 * W, 3)
+    occ = vis2d.get_occlusions(rng.rand(H, W), rng.rand(H, W))
+    assert occ.shape == (H, 2 * W, 3)
+    assert vis2d.get_predicted_occlusions(rng.rand(H, W)).shape == (H, W, 3)
+    assert vis2d.get_depth_direct(rng.rand(H, W) * 50 + 3).shape == (H, W, 3)
+    assert vis2d.get_rendered_flow(rng.randn(H, W, 2) * 0.1, H, W).shape == (H, W, 3)
+
+    panels = vis2d.tb_visualize(
+        {
+            "flows_fwd": flow,
+            "flows_bwd": -flow,
+            "occs_fwd": rng.rand(H, W),
+            "occs_bwd": rng.rand(H, W),
+            "occ_pred": rng.rand(H, W),
+            "depths": rng.rand(H, W) * 50 + 3,
+            "rendered_flow": rng.randn(H, W, 2).astype(np.float32) * 0.1,
+        }
+    )
+    for k in ("flow", "occlusions", "predicted_occlusions", "depth_direct", "rendered_flow"):
+        assert k in panels, k

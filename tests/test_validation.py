@@ -234,3 +234,46 @@ def test_stage1_validator_emits_image_panels():
     for key in ("input_imgs", "depth", "reconstruction", "dino_pca", "dino_cos_sim"):
         assert key in panels, sorted(panels.keys())
         assert panels[key].ndim == 3 and panels[key].shape[-1] == 3
+
+
+def test_sweep_trial_pruning(tmp_path):
+    """Optuna-protocol sweep hook: best validation score is reported each
+    validation pass and should_prune() aborts with TrialPruned
+    (base_trainer.py:131-134 parity)."""
+    from types import SimpleNamespace
+
+    from scenedino_tpu.training.loop import LoopConfig, TrialPruned, fit
+
+    class FakeValidator:
+        every = 1
+        fn = True  # selects the (state, key) call signature
+        save_best = SimpleNamespace(
+            metric="score", sign=1, update_model=False, dry_run=True
+        )
+
+        def __call__(self, state, key):
+            return {"score": float(state.step)}
+
+    class FakeTrial:
+        def __init__(self):
+            self.reports = []
+
+        def report(self, value, step):
+            self.reports.append((value, step))
+
+        def should_prune(self):
+            return len(self.reports) >= 2
+
+    state = SimpleNamespace(step=0)
+
+    def step(s, batch, key):
+        return SimpleNamespace(step=s.step + 1), {"total_loss": 0.5}
+
+    trial = FakeTrial()
+    cfg = LoopConfig(output_path=str(tmp_path), num_epochs=5, log_every=100,
+                     checkpoint_every=10**6, validate_every=1)
+    with pytest.raises(TrialPruned):
+        fit(state, step, lambda: iter([{}, {}, {}]), cfg, jax.random.PRNGKey(0),
+            validators={"validation": FakeValidator()}, sweep_trial=trial)
+    assert len(trial.reports) == 2
+    assert trial.reports[0][0] >= 1.0  # running best of the validation score

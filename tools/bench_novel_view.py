@@ -32,6 +32,8 @@ def main():
     state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
     fs = build_fast_state(params, state, cfg)
 
+    from scenedino_tpu.ops.fast_field import render_novel_view_fused
+
     variants = [(64, True), (64, False)]
     for band, rgb in variants:
         def step(fs, salt, _band=band, _rgb=rgb):
@@ -42,7 +44,18 @@ def main():
             )
 
         dt = device_time(step, fs, iters=8)
-        print(f"band={band} rgb={rgb}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
+        print(f"unfused band={band} rgb={rgb}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
+
+    for rows, band, rgb in [(4, 64, True), (8, 64, True), (2, 64, True), (4, 64, False)]:
+        def stepf(fs, salt, _r=rows, _band=band, _rgb=rgb):
+            g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
+            return render_novel_view_fused(
+                g, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0),
+                n_coarse=K, band=_band, want_rgb=_rgb, rows_per_seg=_r,
+            )
+
+        dt = device_time(stepf, fs, iters=8)
+        print(f"fused rows={rows} band={band} rgb={rgb}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
 
 
 if __name__ == "__main__":
