@@ -59,9 +59,9 @@ def main():
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.ops.fast_field import (
         build_fast_state,
-        fast_query,
+        fast_query_fused,
         render_encode_view,
-        render_novel_view,
+        render_novel_view_fused,
     )
 
     field, params, imgs, projs, poses = build()
@@ -83,11 +83,46 @@ def main():
             params, im, projs, poses, ids_encoder=(0,), method=SceneField.encode
         )
         fs = build_fast_state(params, state, cfg)
-        return render_novel_view(
+        return render_novel_view_fused(
             fs, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0), n_coarse=K
         )
 
     dt_novel = device_time(novel_step, params, imgs, projs, poses, iters=8)
+
+    # render-only novel-view rate (prefolded state; the encode-once/
+    # render-many serving pattern of the demo, NVS trajectories and the
+    # PLY-sequence generator) + a 4-view trajectory figure
+    state0_t = field.apply(
+        params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode
+    )
+    fs_t = build_fast_state(params, state0_t, cfg)
+
+    def render_only_step(fs, salt):
+        g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
+        return render_novel_view_fused(
+            g, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0), n_coarse=K
+        )
+
+    dt_render_only = device_time(render_only_step, fs_t, iters=8)
+
+    def trajectory_step(params, imgs, projs, poses, salt):
+        im = imgs + (salt * 1e-30).astype(imgs.dtype)
+        state = field.apply(
+            params, im, projs, poses, ids_encoder=(0,), method=SceneField.encode
+        )
+        fs = build_fast_state(params, state, cfg)
+        outs = []
+        for vi in range(4):
+            pose_i = novel_pose.at[0, 3].add(0.1 * vi)
+            outs.append(
+                render_novel_view_fused(
+                    fs, cfg, pose_i, projs[0, 0], H, W, jax.random.PRNGKey(vi),
+                    n_coarse=K,
+                )
+            )
+        return outs
+
+    dt_traj = device_time(trajectory_step, params, imgs, projs, poses, iters=4)
 
     def encview_step(params, imgs, projs, poses, salt):
         im = imgs + (salt * 1e-30).astype(imgs.dtype)
@@ -112,8 +147,7 @@ def main():
 
     def ssc_step(fs, pts, salt):
         p = pts + (salt * 1e-30).astype(pts.dtype)
-        _, _, sigma, dino = fast_query(fs, cfg, p, only_density=True, segments=256)
-        return sigma, dino
+        return fast_query_fused(fs, cfg, p[0], segments=256)
 
     dt_ssc = device_time(ssc_step, fs0, pts, iters=6)
 
@@ -131,6 +165,16 @@ def main():
                     "novel_view": {
                         "imgs_per_sec": round(1.0 / dt_novel, 3),
                         "ms_per_image": round(dt_novel * 1e3, 2),
+                    },
+                    "novel_view_render_only": {
+                        "rays_per_sec": round(rays / dt_render_only, 1),
+                        "ms_per_image": round(dt_render_only * 1e3, 2),
+                        "note": "prefolded state; encode-once/render-many serving",
+                    },
+                    "novel_view_trajectory_4": {
+                        "rays_per_sec": round(4 * rays / dt_traj, 1),
+                        "ms_per_view": round(dt_traj * 1e3 / 4, 2),
+                        "note": "1 encode + 4 novel renders (NVS / PLY-sequence pattern)",
                     },
                     "encode_view": {
                         "rays_per_sec": round(rays / dt_enc, 1),

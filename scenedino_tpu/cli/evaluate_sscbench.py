@@ -19,6 +19,50 @@ import logging
 import time
 
 
+def make_query_fn(field, state_holder, prediction_mode: str, fast: bool,
+                  segments: int = 64):
+    """Build the per-block (1, P, 3) -> (sigma (1, P), seg19 (1, P, 19))
+    query closure (net.forward(pts, predict_segmentation=True),
+    bts.py:553-593). Split out of main() so the fast/fused path is
+    testable against the slow reference-semantics path on small models."""
+    import jax
+
+    from scenedino_tpu.models.field import SceneField
+    from scenedino_tpu.ops.fast_field import fast_query_fused
+
+    def query_fn(block):
+        if fast:
+            # folded-head density/feature query through the banded gather,
+            # with MLP + segmentation head fused into the per-segment map
+            # (exact up to bf16; blocks arrive in coherent (z, x, y) order;
+            # only sigma + labels ever leave the map — the (P, 128)/(P, 768)
+            # intermediates stay in-body)
+            def seg_fn(dino):
+                _, s = field.apply(
+                    state_holder["vars"], dino,
+                    mode=prediction_mode, method=SceneField.segment_features,
+                )
+                return s
+
+            sigma, seg = fast_query_fused(
+                state_holder["state"], field.cfg, block[0],
+                segments=segments, seg_fn=seg_fn,
+            )
+            sigma = sigma[None]
+            seg = seg[None]
+        else:
+            _, sigma, seg = field.apply(
+                state_holder["vars"], state_holder["state"], block,
+                mode=prediction_mode, method=SceneField.query_segmentation,
+            )
+        if seg is None:
+            raise RuntimeError("checkpoint has no downstream head")
+        seg19 = jax.nn.one_hot(seg, 19)
+        return sigma, seg19
+
+    return query_fn
+
+
 def main():
     ap = argparse.ArgumentParser("SSCBench evaluation")
     ap.add_argument("--data", required=True)
@@ -75,7 +119,7 @@ def main():
     fov3 = fov_mask.reshape(256, 256, 32)
     pts_j = jnp.asarray(pts)
 
-    from scenedino_tpu.ops.fast_field import build_fast_state, fast_query
+    from scenedino_tpu.ops.fast_field import build_fast_state
 
     fast = not args.slow
 
@@ -91,29 +135,7 @@ def main():
         return state
 
     state_holder = {}
-
-    def query_fn(block):
-        # net.forward(pts, predict_segmentation=True) (bts.py:553-593)
-        if fast:
-            # folded-head density/feature query through the banded gather
-            # (exact up to bf16; blocks arrive in coherent (z, x, y) order)
-            _, _, sigma, dino = fast_query(
-                state_holder["state"], field.cfg, block,
-                only_density=True, segments=64,
-            )
-            _, seg = field.apply(
-                state_holder["vars"], dino,
-                mode=args.prediction_mode, method=SceneField.segment_features,
-            )
-        else:
-            _, sigma, seg = field.apply(
-                state_holder["vars"], state_holder["state"], block,
-                mode=args.prediction_mode, method=SceneField.query_segmentation,
-            )
-        if seg is None:
-            raise RuntimeError("checkpoint has no downstream head")
-        seg19 = jax.nn.one_hot(seg, 19)
-        return sigma, seg19
+    query_fn = make_query_fn(field, state_holder, args.prediction_mode, fast)
 
     predict = S.make_grid_predictor(query_fn, coherent=fast)
     acc = S.SSCAccumulator()

@@ -542,6 +542,119 @@ def render_novel_view_fused(
     return depth, dino, rgb
 
 
+def fast_query_fused(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    xyz: jnp.ndarray,  # (P, 3) world points, single encode view
+    segments: int = 64,
+    band: int = 32,
+    seg_fn=None,
+):
+    """`fast_query(only_density=True)` with the whole per-point pipeline —
+    and optionally the downstream segmentation head — fused into the
+    per-segment `lax.map` body.
+
+    The SSC voxel pass queries ~2M points; the unfused path materializes
+    (P, 128) fp32 MLP intermediates, the (P, 64) dino features, and (when
+    segmenting) the (P, 768) expanded features in HBM — several GB of
+    pure bandwidth. Here each segment runs projection -> code -> banded
+    gather -> folded MLP (-> seg head) in-map, so the outputs are just
+    sigma (P,) [+ seg labels (P,) int32].
+
+    seg_fn: callable (P_seg, dino_dims) -> (P_seg,) integer class labels
+    (e.g. SceneField.segment_features under apply + argmax). Returns
+    (sigma, seg_or_dino): seg labels when seg_fn is given, else the
+    (P, dino) features (both exact vs the unfused path).
+    """
+    from scenedino_tpu.ops.tile_gather import _corners, _blend
+
+    if fs.grid_scale is not None:
+        raise NotImplementedError("fused path is exact-only (no int8 grid)")
+    P = xyz.shape[0]
+    assert P % segments == 0, f"P={P} not divisible by segments={segments}"
+
+    g2d = fs.folded_grid[0, 0]
+    Hg, Wg, D = g2d.shape
+    flat_grid = g2d.reshape(Hg * Wg, D)
+    band_c = min(band, Hg)
+
+    frot = fs.feat_w2c[0, 0, :3, :3]
+    ftrans = fs.feat_w2c[0, 0, :3, 3]
+    fK = fs.feat_ks[0, 0]
+    _hi = jax.lax.Precision.HIGHEST
+
+    def body(pts):
+        cam = jnp.einsum("ij,pj->pi", frot, pts, precision=_hi) + ftrans
+        proj = jnp.einsum("ij,pj->pi", fK, cam, precision=_hi)
+        zc = proj[:, 2:3]
+        xy = jnp.clip(proj[:, :2] / jnp.maximum(zc, cameras.EPS), -2.0, 2.0)
+        if cfg.code_mode == "z":
+            depth_like = zc
+        else:
+            depth_like = jnp.linalg.norm(cam, axis=-1, keepdims=True)
+        zn = encoding.normalize_z(depth_like, cfg.z_near, cfg.z_far, inv_z=cfg.inv_z)
+        code = encoding.positional_encoding(
+            jnp.concatenate([xy, zn], -1),
+            cfg.num_freqs,
+            cfg.freq_factor,
+            cfg.include_input,
+        )
+
+        px = (xy[:, 0] + 1.0) * 0.5 * Wg - 0.5
+        py = (xy[:, 1] + 1.0) * 0.5 * Hg - 0.5
+        (y0i, x0i, y1i, x1i), (wx, wy) = _corners(px, py, Hg, Wg)
+        r0 = jnp.clip(jnp.min(y0i), 0, Hg - band_c)
+        ok = jnp.all(y1i < r0 + band_c) & jnp.all(y0i >= r0)
+
+        def banded():
+            bandtab = jax.lax.dynamic_slice(g2d, (r0, 0, 0), (band_c, Wg, D))
+            ftab = bandtab.reshape(band_c * Wg, D)
+            ly0 = (y0i - r0) * Wg
+            ly1 = jnp.clip(y1i - r0, 0, band_c - 1) * Wg
+            return _blend(
+                jnp.take(ftab, ly0 + x0i, axis=0),
+                jnp.take(ftab, ly0 + x1i, axis=0),
+                jnp.take(ftab, ly1 + x0i, axis=0),
+                jnp.take(ftab, ly1 + x1i, axis=0),
+                wx, wy,
+            )
+
+        def plain():
+            return _blend(
+                jnp.take(flat_grid, y0i * Wg + x0i, axis=0),
+                jnp.take(flat_grid, y0i * Wg + x1i, axis=0),
+                jnp.take(flat_grid, y1i * Wg + x0i, axis=0),
+                jnp.take(flat_grid, y1i * Wg + x1i, axis=0),
+                wx, wy,
+            )
+
+        sampled = jax.lax.cond(ok, banded, plain)
+        h = (
+            sampled.astype(jnp.float32)
+            + jnp.einsum(
+                "pc,cd->pd", code.astype(fs.w_code.dtype), fs.w_code,
+                preferred_element_type=jnp.float32,
+            )
+            + fs.b1
+        )
+        h = jax.nn.relu(h)
+        if fs.w2.dtype == jnp.bfloat16:
+            h = h.astype(jnp.bfloat16)
+        out = (
+            jnp.einsum("pd,de->pe", h.astype(fs.w2.dtype), fs.w2,
+                       preferred_element_type=jnp.float32)
+            + fs.b2
+        )
+        sigma = jax.nn.softplus(out[:, 0])
+        dino = out[:, 1:]
+        if seg_fn is not None:
+            return sigma, seg_fn(dino)
+        return sigma, dino
+
+    sigma, rest = jax.lax.map(body, xyz.reshape(segments, -1, 3))
+    return sigma.reshape(P), rest.reshape(P, *rest.shape[2:])
+
+
 def fast_query(
     fs: FastFieldState,
     cfg: FieldConfig,

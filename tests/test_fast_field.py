@@ -221,3 +221,82 @@ def test_render_novel_view_fused_matches_unfused():
         d2, f2, r2 = render_novel_view_fused(fs, cfg_d, rot, tgt_k, H, W, rkey, n_coarse=8, band=8, want_rgb=False)
     assert r2 is None
     assert np.isfinite(np.asarray(d2)).all() and np.isfinite(np.asarray(f2)).all()
+
+
+def test_fast_query_fused_matches_unfused():
+    """fast_query_fused == fast_query(only_density=True) for sigma/dino,
+    and the in-map seg_fn equals applying the same head outside."""
+    from scenedino_tpu.ops.fast_field import fast_query_fused
+
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3))
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    xyz = jnp.concatenate(
+        [
+            jax.random.uniform(key, (128, 2)) * 4 - 2,
+            jax.random.uniform(key, (128, 1)) * 40 + 4,
+        ],
+        -1,
+    )
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        _, _, sigma0, dino0 = fast_query(fs, cfg, xyz[None], only_density=True, segments=8)
+        sigma1, dino1 = fast_query_fused(fs, cfg, xyz, segments=8, band=8)
+
+        np.testing.assert_allclose(np.asarray(sigma0[0]), np.asarray(sigma1), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dino0[0]), np.asarray(dino1), atol=2e-4)
+
+        # in-map head application == outside application on the dino output
+        Wm = jax.random.normal(jax.random.PRNGKey(3), (6, 5))
+        seg_fn = lambda d: jnp.argmax(d @ Wm, axis=-1)
+        _, seg1 = fast_query_fused(fs, cfg, xyz, segments=8, band=8, seg_fn=seg_fn)
+        np.testing.assert_array_equal(np.asarray(seg1), np.asarray(seg_fn(dino1)))
+
+
+def test_ssc_cli_query_fn_fast_matches_slow():
+    """The SSC CLI's fused fast query path == the reference-semantics slow
+    path (query_segmentation) on a downstream-headed field."""
+    from scenedino_tpu.cli.evaluate_sscbench import make_query_fn
+    from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
+    from scenedino_tpu.ops.fast_field import build_fast_state
+
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    head = SemanticHead(cfg=SemanticHeadConfig(n_classes=5, gt_classes=4, input_dim=12, code_dim=8))
+    field = SceneField(encoder=enc, cfg=cfg, downstream=head)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3))
+    variables = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(variables, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    block = jnp.concatenate(
+        [
+            jax.random.uniform(key, (1, 128, 2)) * 4 - 2,
+            jax.random.uniform(key, (1, 128, 1)) * 40 + 4,
+        ],
+        -1,
+    )
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(variables, state, cfg, compute_dtype=jnp.float32)
+        holder_fast = {"vars": variables, "state": fs}
+        holder_slow = {"vars": variables, "state": state}
+        q_fast = make_query_fn(field, holder_fast, "stego_kmeans", fast=True, segments=8)
+        q_slow = make_query_fn(field, holder_slow, "stego_kmeans", fast=False)
+        sig_f, seg_f = q_fast(block)
+        sig_s, seg_s = q_slow(block)
+
+    np.testing.assert_allclose(np.asarray(sig_f), np.asarray(sig_s), atol=2e-4)
+    # identical argmax labels except where runner-up logits are within tol
+    same = (np.asarray(seg_f) == np.asarray(seg_s)).all(-1).mean()
+    assert same > 0.95, same

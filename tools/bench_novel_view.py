@@ -34,7 +34,10 @@ def main():
 
     from scenedino_tpu.ops.fast_field import render_novel_view_fused
 
-    variants = [(64, True), (64, False)]
+    import argparse
+    ap = argparse.ArgumentParser(); ap.add_argument("--skip-unfused", action="store_true")
+    a, _ = ap.parse_known_args()
+    variants = [] if a.skip_unfused else [(64, True), (64, False)]
     for band, rgb in variants:
         def step(fs, salt, _band=band, _rgb=rgb):
             g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
@@ -46,7 +49,9 @@ def main():
         dt = device_time(step, fs, iters=8)
         print(f"unfused band={band} rgb={rgb}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
 
-    for rows, band, rgb in [(4, 64, True), (8, 64, True), (2, 64, True), (4, 64, False)]:
+    import os
+    combos = eval(os.environ.get("FUSED_COMBOS", "[(4, 64, True), (8, 64, True), (2, 64, True), (4, 64, False)]"))
+    for rows, band, rgb in combos:
         def stepf(fs, salt, _r=rows, _band=band, _rgb=rgb):
             g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
             return render_novel_view_fused(

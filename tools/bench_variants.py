@@ -68,8 +68,29 @@ def bench_ssc():
         print(f"ssc segments={segments} band={band}: {dt*1e3:.2f} ms", flush=True)
 
 
+def bench_ssc_fused():
+    from scenedino_tpu.eval import sscbench as S
+    from scenedino_tpu.ops.fast_field import build_fast_state, fast_query_fused
+
+    field, params, state, cfg, projs = setup()
+    fs = build_fast_state(params, state, cfg)
+    pts, _ = S.generate_point_grid()
+    pts = pts.reshape(256, 256, 32, 3).transpose(2, 0, 1, 3).reshape(-1, 3)
+    pts = jnp.asarray(pts)
+    combos = eval(os.environ.get("SSC_COMBOS", "((64, 64), (128, 48), (256, 32), (512, 24))"))
+    for segments, band in combos:
+        def step(fs, p, salt, _s=segments, _b=band):
+            pp = p + (salt * 1e-30).astype(p.dtype)
+            return fast_query_fused(fs, cfg, pp, segments=_s, band=_b)
+
+        dt = device_time(step, fs, pts, iters=6)
+        print(f"ssc fused segments={segments} band={band}: {dt*1e3:.2f} ms", flush=True)
+
+
 if __name__ == "__main__":
-    if "ssc" in sys.argv:
+    if "ssc_fused" in sys.argv:
+        bench_ssc_fused()
+    elif "ssc" in sys.argv:
         bench_ssc()
     else:
         bench_int8()
