@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--ids", type=int, nargs="*", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--calib", default=None)
+    ap.add_argument("--slow", action="store_true",
+                    help="use the unfolded full-field query path (reference semantics bit-path)")
     args = ap.parse_args()
 
     import jax
@@ -89,29 +91,34 @@ def main():
     for size in args.sizes:
         os.makedirs(os.path.join(args.out, str(int(size))), exist_ok=True)
 
+    from scenedino_tpu.cli.evaluate_sscbench import make_query_fn
+    from scenedino_tpu.ops.fast_field import build_fast_state
+
+    fast = not args.slow
+
     @jax.jit
     def encode(variables, imgs, projs, poses):
         poses = jnp.linalg.inv(poses[:, :1]) @ poses
-        return field.apply(
+        state = field.apply(
             variables, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
             method=SceneField.encode,
         )
+        if fast:
+            return build_fast_state(variables, state, field.cfg)
+        return state
 
     holder = {}
-
-    def query_fn(block):
-        _, sigma, seg = field.apply(
-            holder["vars"], holder["state"], block,
-            mode=args.prediction_mode, method=SceneField.query_segmentation,
-        )
-        if seg is None:
-            raise RuntimeError("checkpoint has no downstream head")
-        return sigma, jax.nn.one_hot(seg, 19)
 
     n_pts = pts.shape[0]
     chunk = 128 * 128 * 32
     while n_pts % chunk:
         chunk //= 2
+    # fused fast path needs the per-block point count divisible by segments
+    segments = 64
+    while chunk % segments:
+        segments //= 2
+    query_fn = make_query_fn(field, holder, args.prediction_mode, fast,
+                             segments=segments)
     predict = S.make_grid_predictor(
         query_fn, chunk_points=chunk, grow=False, grid_dim=grid_dim, voxel_size=vs
     )

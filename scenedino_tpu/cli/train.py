@@ -282,6 +282,7 @@ def run_stage2(config):
         render_height=H, render_width=W,
         # crop sample capacity must match the head's ring-buffer row size
         n_samples=head_cfg.patch_sample_size,
+        use_fast_render=config.get("training", {}).get("use_fast_render", True),
     )
     buffers0 = RingBufferState.create(head_cfg.buffer_size, head_cfg.patch_sample_size, head_cfg.input_dim)
     dino0 = jnp.zeros((1, 1, H, W, 1, head_cfg.input_dim))

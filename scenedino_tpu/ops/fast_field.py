@@ -102,6 +102,46 @@ def build_fast_state(
     )
 
 
+def can_fold(params, cfg: FieldConfig, head_name: str = "heads_normal_head") -> bool:
+    """True when `build_fast_state`'s linear-fold applies: the shipped
+    2-layer ResnetFC head (n_blocks=0 -> only lin_in/lin_out params) and
+    learn_empty off. Static (host-side) check on the params tree."""
+    if cfg.learn_empty:
+        return False
+    head = params.get("params", {}).get(head_name)
+    if head is None:
+        return False
+    return set(head.keys()) == {"lin_in", "lin_out"}
+
+
+def render_encode_view_batched(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    height: int,
+    width: int,
+    keys,  # (B,) PRNG keys, one per batch element
+    **kwargs,
+):
+    """vmap of `render_encode_view` over the batch axis of a (B, 1)-view
+    fast state (the stage-2 full-frame render: every sample renders its
+    own encode camera). Returns (depth (B, H, W), dino (B, H, W, D),
+    rgb (B, H, W, 3))."""
+
+    def one(grid, fk, fw, ci, ck, cw, key):
+        sub = fs._replace(
+            folded_grid=grid[None, None], feat_ks=fk[None, None],
+            feat_w2c=fw[None], color_imgs=ci[None, None],
+            color_ks=ck[None, None], color_w2c=cw[None],
+        )
+        return render_encode_view(sub, cfg, height, width, key, **kwargs)
+
+    return jax.vmap(one)(
+        fs.folded_grid[:, 0], fs.feat_ks[:, 0], fs.feat_w2c[:, :1],
+        fs.color_imgs[:, 0], fs.color_ks[:, 0], fs.color_w2c[:, :1],
+        keys,
+    )
+
+
 def render_encode_view(
     fs: FastFieldState,
     cfg: FieldConfig,

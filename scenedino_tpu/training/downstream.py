@@ -51,6 +51,11 @@ class DownstreamTrainConfig:
     side_view_prob: float = 0.5
     n_views: int = 8
     mode: str = "3d"
+    # route the frozen full-frame render through the zero-gather folded
+    # encode-view path when the head is foldable (exact for the shipped
+    # n_blocks=0 config; the field is frozen in stage 2, so no grads are
+    # needed through the render) — ~4x faster stage-2 steps
+    use_fast_render: bool = True
 
 
 class DownstreamTrainState(struct.PyTreeNode):
@@ -181,20 +186,51 @@ def downstream_forward(
     )
 
     H, W = cfg.render_height, cfg.render_width
-    sampler = ImageRaySampler(cfg.z_near, cfg.z_far, height=H, width=W)
-    rays = sampler.sample(imgs_e, poses_e, projs_e)
 
-    def field_fn(xyz, only_density=False):
-        return field.apply(field_params, state, xyz, only_density=only_density)
-
-    out = render_rays_chunked(
-        field_fn, rays[..., :8], k_render, rcfg, chunk=cfg.render_chunk
+    from scenedino_tpu.ops.fast_field import (
+        build_fast_state,
+        can_fold,
+        render_encode_view_batched,
     )
-    c = out["coarse"]
-    dino64 = c["dino_features"].reshape(B, 1, H, W, 1, -1)
+
+    fast = (
+        cfg.use_fast_render
+        and can_fold(field_params, field.cfg)
+        and rcfg.n_fine == 0
+        and rcfg.n_fine_depth == 0
+        and rcfg.noise_std == 0.0
+        and not rcfg.white_bkgd
+        and rcfg.render_mode == "volumetric"
+    )
+    if fast:
+        # fp32 fold: training-path numerics match the generic renderer
+        # (bf16 grids are a serving choice; CPU XLA also lacks the
+        # bf16 x bf16 -> f32 dot the folded einsums would emit)
+        fs = build_fast_state(field_params, state, field.cfg, compute_dtype=jnp.float32)
+        depth, dino64, rgb = render_encode_view_batched(
+            fs, field.cfg, H, W, jax.random.split(k_render, B),
+            n_coarse=rcfg.n_coarse, lindisp=rcfg.lindisp,
+            hard_alpha_cap=rcfg.hard_alpha_cap,
+        )
+        dino64 = dino64.reshape(B, 1, H, W, 1, -1)
+        rgb_out = rgb.reshape(B, H * W, 1, 3)
+    else:
+        sampler = ImageRaySampler(cfg.z_near, cfg.z_far, height=H, width=W)
+        rays = sampler.sample(imgs_e, poses_e, projs_e)
+
+        def field_fn(xyz, only_density=False):
+            return field.apply(field_params, state, xyz, only_density=only_density)
+
+        out = render_rays_chunked(
+            field_fn, rays[..., :8], k_render, rcfg, chunk=cfg.render_chunk
+        )
+        c = out["coarse"]
+        dino64 = c["dino_features"].reshape(B, 1, H, W, 1, -1)
+        depth = c["depth"].reshape(B, H, W)
+        rgb_out = c["rgb"]
     dino768 = field.apply(field_params, dino64, method=SceneField.expand_dim)
     dino768 = jax.lax.stop_gradient(dino768)
-    depth = c["depth"].reshape(B, H, W)
+    depth = depth.reshape(B, H, W)
 
     crop_feats = None
     if cfg.mode == "3d":
@@ -220,7 +256,7 @@ def downstream_forward(
         rngs={"dropout": k_drop},
         mutable=["state"],
     )
-    rendered = {"depth": depth, "dino_features": dino768, "rgb": c["rgb"]}
+    rendered = {"depth": depth, "dino_features": dino768, "rgb": rgb_out}
     return seg_data, rendered, new_buffers, mut
 
 
