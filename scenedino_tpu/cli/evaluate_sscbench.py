@@ -19,18 +19,20 @@ import logging
 import time
 
 
-def make_query_fn(field, state_holder, prediction_mode: str, fast: bool,
-                  segments: int = 64):
+def make_query_fn(field, prediction_mode: str, fast: bool, segments: int = 64):
     """Build the per-block (1, P, 3) -> (sigma (1, P), seg19 (1, P, 19))
-    query closure (net.forward(pts, predict_segmentation=True),
-    bts.py:553-593). Split out of main() so the fast/fused path is
+    query function (net.forward(pts, predict_segmentation=True),
+    bts.py:553-593). The per-frame scene state and checkpoint variables
+    arrive via the second argument `qstate = {"vars": ..., "state": ...}`
+    — passed through jit as real arguments (NOT closed over; see
+    make_grid_predictor). Split out of main() so the fast/fused path is
     testable against the slow reference-semantics path on small models."""
     import jax
 
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.ops.fast_field import fast_query_fused
 
-    def query_fn(block):
+    def query_fn(block, qstate):
         if fast:
             # folded-head density/feature query through the banded gather,
             # with MLP + segmentation head fused into the per-segment map
@@ -39,20 +41,20 @@ def make_query_fn(field, state_holder, prediction_mode: str, fast: bool,
             # intermediates stay in-body)
             def seg_fn(dino):
                 _, s = field.apply(
-                    state_holder["vars"], dino,
+                    qstate["vars"], dino,
                     mode=prediction_mode, method=SceneField.segment_features,
                 )
                 return s
 
             sigma, seg = fast_query_fused(
-                state_holder["state"], field.cfg, block[0],
+                qstate["state"], field.cfg, block[0],
                 segments=segments, seg_fn=seg_fn,
             )
             sigma = sigma[None]
             seg = seg[None]
         else:
             _, sigma, seg = field.apply(
-                state_holder["vars"], state_holder["state"], block,
+                qstate["vars"], qstate["state"], block,
                 mode=prediction_mode, method=SceneField.query_segmentation,
             )
         if seg is None:
@@ -134,8 +136,7 @@ def main():
             return build_fast_state(variables, state, field.cfg)
         return state
 
-    state_holder = {}
-    query_fn = make_query_fn(field, state_holder, args.prediction_mode, fast)
+    query_fn = make_query_fn(field, args.prediction_mode, fast)
 
     predict = S.make_grid_predictor(query_fn, coherent=fast)
     acc = S.SSCAccumulator()
@@ -149,9 +150,8 @@ def main():
         projs = jnp.asarray(sample["projs"])[None]
         poses = jnp.asarray(sample["poses"])[None]
         t0 = time.perf_counter()
-        state_holder["vars"] = variables
-        state_holder["state"] = encode(variables, imgs, projs, poses)
-        sigmas, segs = predict(pts_j)
+        qstate = {"vars": variables, "state": encode(variables, imgs, projs, poses)}
+        sigmas, segs = predict(pts_j, qstate)
         sigmas = np.asarray(sigmas)
         segs = np.asarray(segs)
         t_total += time.perf_counter() - t0

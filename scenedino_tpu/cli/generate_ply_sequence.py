@@ -107,7 +107,6 @@ def main():
             return build_fast_state(variables, state, field.cfg)
         return state
 
-    holder = {}
 
     n_pts = pts.shape[0]
     chunk = 128 * 128 * 32
@@ -117,7 +116,7 @@ def main():
     segments = 64
     while chunk % segments:
         segments //= 2
-    query_fn = make_query_fn(field, holder, args.prediction_mode, fast,
+    query_fn = make_query_fn(field, args.prediction_mode, fast,
                              segments=segments)
     predict = S.make_grid_predictor(
         query_fn, chunk_points=chunk, grow=False, grid_dim=grid_dim, voxel_size=vs
@@ -130,14 +129,13 @@ def main():
     for count, i in enumerate(ids):
         sample = dataset[int(i)]
         t0 = time.perf_counter()
-        holder["vars"] = variables
-        holder["state"] = encode(
+        qstate = {"vars": variables, "state": encode(
             variables,
             jnp.asarray(sample["imgs"])[None],
             jnp.asarray(sample["projs"])[None],
             jnp.asarray(sample["poses"])[None],
-        )
-        sigmas, segs = predict(pts_j)
+        )}
+        sigmas, segs = predict(pts_j, qstate)
         sigmas = np.asarray(sigmas)
         segs = np.asarray(segs)
         t_total += time.perf_counter() - t0

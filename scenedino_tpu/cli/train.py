@@ -310,7 +310,7 @@ def run_stage2(config):
 
     tx = make_downstream_optimizer(cfg, head_vars["params"])
     state = init_downstream_state(head_vars, cfg, head_cfg, tx)
-    step = jax.jit(make_downstream_train_step(field, field_params, head, cfg, rcfg, tx))
+    step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx)
     from scenedino_tpu.utils.jax_setup import save_run_config
 
     save_run_config(config.get("output", {}).get("path", "out/semantic"), config)

@@ -181,9 +181,14 @@ def make_grid_predictor(
 ):
     """Build a jitted dense-grid predictor.
 
-    query_fn(pts (1, P, 3)) -> (sigma (1, P), seg_probs (1, P, 19))
-    (the `net.forward(pts, predict_segmentation=True)` contract).
-    Returns predict(pts (N, 3)) -> (sigmas grid_dim, segs grid_dim) with
+    query_fn(pts (1, P, 3), qstate) -> (sigma (1, P), seg_probs (1, P, 19))
+    (the `net.forward(pts, predict_segmentation=True)` contract); `qstate`
+    is the per-frame scene state (plus any fixed weights), threaded
+    through `predict(pts, qstate)` as a REAL jit argument. It must not be
+    a closure: jit would bake the first frame's encoding into the
+    executable as constants and silently reuse it for every later frame
+    (and embedding ~0.5 GB of ViT weights overflows remote-compile
+    transports). Returns (sigmas grid_dim, segs grid_dim) with
     alpha-weighted seg argmax (evaluate_model_sscbench.py:711-753).
 
     coherent=True feeds the voxels in (z, depth, lateral) order — fixed
@@ -193,7 +198,7 @@ def make_grid_predictor(
     """
     X, Y, Z = grid_dim
 
-    def predict(pts):
+    def predict(pts, qstate):
         N = pts.shape[0]
         assert N % chunk_points == 0
         if coherent:
@@ -201,7 +206,7 @@ def make_grid_predictor(
         blocks = pts.reshape(-1, chunk_points, 3)
 
         def eval_block(block):
-            sigma, seg = query_fn(block[None])
+            sigma, seg = query_fn(block[None], qstate)
             sigma = sigma[0]
             seg = seg[0]
             alphas = 1.0 - jnp.exp(-voxel_size * sigma)

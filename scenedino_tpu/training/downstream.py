@@ -320,20 +320,29 @@ def seed_cluster_centers(
 
 def make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
                                loss_cfg: StegoLossConfig = StegoLossConfig()):
-    def loss_fn(head_params, head_state, batch, buffers, key):
+    """Returns an ALREADY-jitted step(state, batch, key).
+
+    The frozen field params are bound as a jit *argument* (functools.partial
+    over the jitted raw step), NOT a closure: closing over the ~0.5 GB
+    ViT-B tree would bake it into the HLO as literal constants — bloating
+    every compile and overflowing the remote-compile transport on tunneled
+    TPU setups. Callers must NOT wrap the result in jax.jit again (that
+    would re-trace the partial and re-embed the params)."""
+
+    def loss_fn(head_params, head_state, batch, buffers, key, fp):
         variables = {"params": head_params, **head_state}
         seg_data, _, new_buffers, mut = downstream_forward(
-            field, field_params, head, variables, batch, buffers, key, cfg, rcfg, training=True
+            field, fp, head, variables, batch, buffers, key, cfg, rcfg, training=True
         )
         losses = stego_loss(seg_data, loss_cfg)
         return losses["total_loss"], (losses, new_buffers, mut)
 
-    def step(state: DownstreamTrainState, batch, key):
+    def raw_step(fp, state: DownstreamTrainState, batch, key):
         head_params = state.head_variables["params"]
         head_state = {k: v for k, v in state.head_variables.items() if k != "params"}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (losses, new_buffers, mut)), grads = grad_fn(
-            head_params, head_state, batch, state.buffers, key
+            head_params, head_state, batch, state.buffers, key, fp
         )
         updates, new_opt = tx.update(grads, state.opt_state, head_params)
         new_params = optax.apply_updates(head_params, updates)
@@ -348,7 +357,9 @@ def make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
             losses,
         )
 
-    return step
+    import functools
+
+    return functools.partial(jax.jit(raw_step), field_params)
 
 
 def init_downstream_state(head_variables, cfg: DownstreamTrainConfig, head_cfg, tx):

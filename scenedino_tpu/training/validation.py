@@ -343,14 +343,18 @@ def make_stage2_validator(
     stego_cluster_weighted_miou with update_model)."""
     from scenedino_tpu.training.downstream import downstream_forward
 
-    def _fwd(head_variables, buffers, batch, key):
+    def _fwd(fp, head_variables, buffers, batch, key):
+        # field params bound as a jit ARGUMENT, not a closure, so the
+        # frozen ViT tree is not baked into the HLO as constants
         seg_data, rendered, _, _ = downstream_forward(
-            field, field_params, head, head_variables, batch, buffers, key,
+            field, fp, head, head_variables, batch, buffers, key,
             cfg, rcfg, training=False,
         )
         return seg_data, rendered
 
-    fwd = jax.jit(_fwd)
+    import functools
+
+    fwd = functools.partial(jax.jit(_fwd), field_params)
     metric_confs = val_cfg.get("metrics", [])
     n_classes = head.cfg.n_classes
     gt_classes = head.cfg.gt_classes

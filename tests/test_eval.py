@@ -112,7 +112,7 @@ def test_grid_predictor_and_accumulator_perfect_prediction():
     lo = S.VOX_ORIGIN[2] + 3 * S.VOXEL_SIZE
     hi = S.VOX_ORIGIN[2] + 4 * S.VOXEL_SIZE
 
-    def query_fn(block):
+    def query_fn(block, qstate):
         # a query fn that "knows" the scene: recover the velo height of each
         # cam-frame point and emit density only inside the sheet
         velo = (S.CAM2VELO[:3, :3] @ block[0].T).T + S.CAM2VELO[:3, 3]
@@ -123,7 +123,7 @@ def test_grid_predictor_and_accumulator_perfect_prediction():
     # grow (3^3 max-pool) dilates every prediction by one voxel; disable it
     # for an exact-IoU check of the rest of the pipeline
     predict = S.make_grid_predictor(query_fn, chunk_points=128 * 128 * 32, grow=False)
-    sigmas, segs = predict(pts_j)
+    sigmas, segs = predict(pts_j, {})
     sigmas = np.asarray(sigmas)
     segs = np.asarray(segs)
 

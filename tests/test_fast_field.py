@@ -289,12 +289,10 @@ def test_ssc_cli_query_fn_fast_matches_slow():
     )
     with jax.default_matmul_precision("highest"):
         fs = build_fast_state(variables, state, cfg, compute_dtype=jnp.float32)
-        holder_fast = {"vars": variables, "state": fs}
-        holder_slow = {"vars": variables, "state": state}
-        q_fast = make_query_fn(field, holder_fast, "stego_kmeans", fast=True, segments=8)
-        q_slow = make_query_fn(field, holder_slow, "stego_kmeans", fast=False)
-        sig_f, seg_f = q_fast(block)
-        sig_s, seg_s = q_slow(block)
+        q_fast = make_query_fn(field, "stego_kmeans", fast=True, segments=8)
+        q_slow = make_query_fn(field, "stego_kmeans", fast=False)
+        sig_f, seg_f = q_fast(block, {"vars": variables, "state": fs})
+        sig_s, seg_s = q_slow(block, {"vars": variables, "state": state})
 
     np.testing.assert_allclose(np.asarray(sig_f), np.asarray(sig_s), atol=2e-4)
     # identical argmax labels except where runner-up logits are within tol

@@ -45,7 +45,7 @@ def test_grid_predictor_custom_resolution():
     dim = tuple(int(np.ceil(s / vs)) for s in S.SCENE_SIZE)
     assert pts.shape[0] == np.prod(dim)
 
-    def query_fn(block):
+    def query_fn(block, qstate):
         sigma = jnp.linalg.norm(block, axis=-1) * 0.01
         seg = jnp.ones((*block.shape[:2], 19))
         return sigma, seg
@@ -54,7 +54,7 @@ def test_grid_predictor_custom_resolution():
     predict = S.make_grid_predictor(
         query_fn, chunk_points=chunk, grow=False, grid_dim=dim, voxel_size=vs
     )
-    sigmas, segs = predict(jnp.asarray(pts))
+    sigmas, segs = predict(jnp.asarray(pts), {})
     assert sigmas.shape == dim and segs.shape == dim
     assert np.isfinite(np.asarray(sigmas)).all()
 
@@ -117,3 +117,26 @@ def test_sigma_diagnostics_cutoff_search_and_tradeoff():
     # precision improves as sigma cutoff rises past the FP blob's sigma
     prec = {r[0]: r[1] for r in rows}
     assert prec[0.025] > prec[0.001]
+
+
+def test_grid_predictor_threads_per_frame_state():
+    """Regression: the jitted predictor must use each frame's qstate, not
+    bake the first frame's into the executable (jit closure-constant bug)."""
+    import jax.numpy as jnp
+
+    dim = (8, 8, 4)
+    pts = np.stack(
+        np.meshgrid(*[np.arange(d, dtype=np.float32) for d in dim], indexing="ij"), -1
+    ).reshape(-1, 3)
+
+    def query_fn(block, qstate):
+        sigma = jnp.linalg.norm(block, axis=-1) * qstate["scale"]
+        seg = jnp.ones((*block.shape[:2], 19))
+        return sigma, seg
+
+    predict = S.make_grid_predictor(
+        query_fn, chunk_points=int(np.prod(dim)), grow=False, grid_dim=dim, voxel_size=0.2
+    )
+    s1, _ = predict(jnp.asarray(pts), {"scale": jnp.float32(1.0)})
+    s2, _ = predict(jnp.asarray(pts), {"scale": jnp.float32(2.0)})
+    np.testing.assert_allclose(np.asarray(s2), 2.0 * np.asarray(s1), rtol=1e-5)

@@ -76,7 +76,7 @@ def main():
         )
         tx = make_downstream_optimizer(cfg, head_vars["params"])
         state = init_downstream_state(head_vars, cfg, head_cfg, tx)
-        step = jax.jit(make_downstream_train_step(field, field_params, head, cfg, rcfg, tx))
+        step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx)
 
         def timed(state, batch, salt):
             b = dict(batch)
