@@ -42,7 +42,7 @@ class DownstreamTrainConfig:
     z_far: float = 80.0
     render_height: int = 192
     render_width: int = 640
-    render_chunk: int = 16384
+    render_chunk: int = 15360  # divides the flagship 192x640 full frame
     n_crops: int = 5
     n_samples: int = 576
     oversampling: int = 4
@@ -359,7 +359,13 @@ def make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
 
     import functools
 
-    return functools.partial(jax.jit(raw_step), field_params)
+    jitted = jax.jit(raw_step)
+    step = functools.partial(jitted, field_params)
+    # expose the params-as-argument form for callers that trace the step
+    # inside ANOTHER jit (benchmarks): calling the partial there would
+    # re-embed the bound params as constants
+    step.raw = jitted
+    return step
 
 
 def init_downstream_state(head_variables, cfg: DownstreamTrainConfig, head_cfg, tx):

@@ -298,3 +298,47 @@ def test_ssc_cli_query_fn_fast_matches_slow():
     # identical argmax labels except where runner-up logits are within tol
     same = (np.asarray(seg_f) == np.asarray(seg_s)).all(-1).mean()
     assert same > 0.95, same
+
+
+def test_render_novel_view_fused_sharded_exact():
+    """Sharded fused render over the 8-device CPU mesh is bit-identical
+    to the single-device fused renderer (global ray/strata generation,
+    zero collectives)."""
+    from scenedino_tpu.ops.fast_field import (
+        render_novel_view_fused,
+        render_novel_view_fused_sharded,
+    )
+    from scenedino_tpu.parallel.mesh import make_mesh
+
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3)
+    )
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    c, s = np.cos(0.05), np.sin(0.05)
+    rot = jnp.asarray(np.array([[c, 0, s, 0.2], [0, 1, 0, -0.1], [-s, 0, c, 0.1], [0, 0, 0, 1]], np.float32))
+    rkey = jax.random.PRNGKey(7)
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        # H=16, rows_per_seg=2 -> 8 segments, one per device
+        d0, f0, r0 = render_novel_view_fused(
+            fs, cfg, rot, projs[0, 0], H, W, rkey, n_coarse=8, band=8, rows_per_seg=2
+        )
+        d1, f1, r1 = render_novel_view_fused_sharded(
+            fs, cfg, rot, projs[0, 0], H, W, rkey, mesh, n_coarse=8, band=8, rows_per_seg=2
+        )
+
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)

@@ -78,13 +78,15 @@ def main():
         state = init_downstream_state(head_vars, cfg, head_cfg, tx)
         step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx)
 
-        def timed(state, batch, salt):
+        def timed(fp, state, batch, salt):
+            # use the params-as-argument form: device_time's outer jit
+            # would bake the partial-bound ViT tree into the HLO otherwise
             b = dict(batch)
             b["imgs"] = b["imgs"] + (salt * 1e-30).astype(b["imgs"].dtype)
-            _, losses = step(state, b, jax.random.fold_in(key, 1))
+            _, losses = step.raw(fp, state, b, jax.random.fold_in(key, 1))
             return losses["total_loss"]
 
-        dt = device_time(timed, state, batch, iters=4)
+        dt = device_time(timed, field_params, state, batch, iters=4)
         print(f"stage2 {name}: {dt*1e3:8.1f} ms/step ({1/dt:5.2f} steps/s)", flush=True)
 
 
