@@ -194,3 +194,64 @@ def test_encode_coords_modes():
     cd = encoding.encode_coords(xy, z, dist, 3.0, 80.0, mode="distance")
     assert cz.shape == (5, 3)
     assert not np.allclose(np.asarray(cz[:, 2]), np.asarray(cd[:, 2]))
+
+
+def test_geometry_distance_z_roundtrip_and_torch_parity():
+    """distance_to_z / z_to_distance vs a torch twin of geometry.py:22-61."""
+    import torch
+
+    from scenedino_tpu.core.geometry import distance_to_z, z_to_distance
+
+    n, nv, h, w = 1, 2, 6, 9
+    rng = np.random.RandomState(0)
+    depths = rng.rand(n, nv, h, w).astype(np.float32) * 40 + 3
+    projs = np.broadcast_to(
+        np.array([[1.2, 0, 0.01], [0, 2.4, -0.02], [0, 0, 1.0]], np.float32), (n, nv, 3, 3)
+    ).copy()
+
+    z = distance_to_z(jnp.asarray(depths), jnp.asarray(projs))
+    back = z_to_distance(z, jnp.asarray(projs))
+    np.testing.assert_allclose(np.asarray(back), depths, rtol=1e-5)
+
+    # torch twin
+    inv_K = torch.inverse(torch.from_numpy(projs))
+    gx = torch.linspace(-1, 1, w).view(1, 1, 1, -1).expand(-1, -1, h, -1)
+    gy = torch.linspace(-1, 1, h).view(1, 1, -1, 1).expand(-1, -1, -1, w)
+    img = torch.stack((gx, gy, torch.ones_like(gx)), dim=2).expand(n, nv, -1, -1, -1)
+    cam = (inv_K @ img.reshape(n, nv, 3, -1)).reshape(n, nv, 3, h, w)
+    factors = cam[:, :, 2] / torch.norm(cam, dim=2)
+    ref = torch.from_numpy(depths) * factors
+    np.testing.assert_allclose(np.asarray(z), ref.numpy(), atol=1e-5)
+
+
+def test_geometry_frustum_overlap_and_mask_mean():
+    from scenedino_tpu.core.geometry import (
+        azimuth_elevation_to_rotation,
+        estimate_frustum_overlap,
+        mask_mean,
+        transform_pts,
+    )
+
+    K = jnp.broadcast_to(jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]), (1, 3, 3))
+    eye = jnp.broadcast_to(jnp.eye(4), (1, 4, 4))
+    # identical cameras -> full overlap
+    ov_same = estimate_frustum_overlap(K, eye, K, eye)
+    # first depth slice sits exactly at z_range[0]; the reference's strict
+    # `> z_range[0]` check drops it -> 15/16
+    assert float(ov_same[0]) > 0.9
+    # target 1 km to the side -> zero overlap (note the reference checks
+    # abs(z), so a 180-deg flip would NOT zero it; parity kept)
+    far = eye.at[:, 0, 3].set(1000.0)
+    ov_far = estimate_frustum_overlap(K, eye, K, far)
+    assert float(ov_far[0]) < 0.01
+
+    R = azimuth_elevation_to_rotation(0.3, 0.1)
+    np.testing.assert_allclose(np.asarray(R @ R.T), np.eye(3), atol=1e-6)
+
+    pts = jnp.asarray(np.random.RandomState(1).rand(1, 5, 3).astype(np.float32))
+    shifted = transform_pts(pts, eye.at[:, 0, 3].set(1.0))
+    np.testing.assert_allclose(np.asarray(shifted[..., 0]), np.asarray(pts[..., 0]) + 1.0, rtol=1e-6)
+
+    t = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    m = jnp.asarray([1, 0, 1, 0])
+    assert float(mask_mean(t, m)) == 2.0
