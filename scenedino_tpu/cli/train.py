@@ -86,7 +86,7 @@ def build_validators(config, stage: str, **kw):
     return validators
 
 
-def run_stage1(config):
+def run_stage1(config, sweep_trial=None):
     import jax
     import jax.numpy as jnp
 
@@ -198,7 +198,8 @@ def run_stage1(config):
         field=field, tcfg=tcfg, rcfg=rcfg,
     )
     with jax.set_mesh(mesh):
-        fit(state, step, data_iter, loop_cfg, key, validators=validators)
+        fit(state, step, data_iter, loop_cfg, key, validators=validators,
+            sweep_trial=sweep_trial)
 
 
 def main():
@@ -219,7 +220,7 @@ def main():
         run_stage2(config)
 
 
-def run_stage2(config):
+def run_stage2(config, sweep_trial=None):
     """Stage-2 downstream distillation (trainer_downstream.py parity)."""
     import jax
     import jax.numpy as jnp
@@ -349,6 +350,7 @@ def run_stage2(config):
         state, step, data_iter, loop_cfg, key,
         validators=validators,
         update_model_fn=make_update_model_fn() if validators else None,
+        sweep_trial=sweep_trial,
     )
 
 

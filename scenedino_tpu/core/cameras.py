@@ -113,3 +113,47 @@ def project_points(pts, poses_w2c, Ks, clamp_ndc=2.0):
     invalid = outside_frustum(xy, z)
     xy = jnp.clip(xy, -clamp_ndc, clamp_ndc)
     return xy, z, distance, invalid
+
+
+# ------------------------------------------------------------------ fisheye
+# MEI-model fisheye camera (scenedino/common/cameras/fisheye.py:46-136).
+# calib layout: (..., 7) = [xi, k1, k2, gamma1, gamma2, u0, v0].
+# The datasets resample fisheye images to pinhole on the host
+# (datasets/kitti_360.py FisheyeToPinholeSampler); this batched API mirrors
+# the reference's standalone fisheye projection surface.
+
+
+def normalize_calib_fisheye(calib, img_sizes):
+    """Pixel-space [gamma, u0/v0] -> NDC (fisheye.py:46-60)."""
+    calib = jnp.asarray(calib)
+    img_sizes = jnp.asarray(img_sizes)
+    gamma = calib[..., 3:5] / img_sizes * 2.0
+    c = calib[..., 5:7] / img_sizes * 2.0 - 1.0
+    return jnp.concatenate([calib[..., :3], gamma, c], axis=-1)
+
+
+def unnormalize_calib_fisheye(calib, img_sizes):
+    """Inverse of `normalize_calib_fisheye` (fisheye.py:63-77)."""
+    calib = jnp.asarray(calib)
+    img_sizes = jnp.asarray(img_sizes)
+    gamma = calib[..., 3:5] * img_sizes / 2.0
+    c = (calib[..., 5:7] + 1.0) * img_sizes / 2.0
+    return jnp.concatenate([calib[..., :3], gamma, c], axis=-1)
+
+
+def project_to_image_fisheye(pts_cam, calib):
+    """Camera-space points -> fisheye NDC coords + depth (fisheye.py:80-108).
+
+    pts_cam: (B, V, P, 3); calib: (B, V, 7) normalized. Unit-sphere MEI
+    projection with radial distortion (1 + k1 r^2 + k2 r^4).
+    Returns (xy (B, V, P, 2), z (B, V, P, 1))."""
+    pts = pts_cam / jnp.linalg.norm(pts_cam, axis=-1, keepdims=True)
+    xy = pts[..., 0:2]
+    z = pts[..., 2:3]
+    xi = calib[..., 0:1][..., None, :]  # (B, V, 1, 1)
+    xy = xy / (z + xi)
+    r = jnp.sum(jnp.square(xy), axis=-1)  # (B, V, P)
+    factor = 1.0 + calib[..., 1:2] * r + calib[..., 2:3] * jnp.square(r)
+    xy = xy * factor[..., None]
+    xy = xy * calib[..., 3:5][..., None, :] + calib[..., 5:7][..., None, :]
+    return xy, z

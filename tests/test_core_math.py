@@ -255,3 +255,45 @@ def test_geometry_frustum_overlap_and_mask_mean():
     t = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     m = jnp.asarray([1, 0, 1, 0])
     assert float(mask_mean(t, m)) == 2.0
+
+
+def test_fisheye_camera_torch_parity():
+    """MEI fisheye projection + calib normalization vs a torch twin of
+    cameras/fisheye.py:46-108."""
+    import torch
+
+    from scenedino_tpu.core.cameras import (
+        normalize_calib_fisheye,
+        project_to_image_fisheye,
+        unnormalize_calib_fisheye,
+    )
+
+    rng = np.random.RandomState(0)
+    B, V, P = 1, 2, 64
+    pts = rng.randn(B, V, P, 3).astype(np.float32)
+    pts[..., 2] = np.abs(pts[..., 2]) + 0.5
+    calib_px = np.stack(
+        [np.array([0.9, -0.2, 0.05, 600.0, 600.0, 700.0, 350.0], np.float32)] * V
+    )[None]
+    sizes = np.array([[[1400.0, 700.0]] * V], np.float32)
+
+    calib = normalize_calib_fisheye(jnp.asarray(calib_px), jnp.asarray(sizes))
+    back = unnormalize_calib_fisheye(calib, jnp.asarray(sizes))
+    np.testing.assert_allclose(np.asarray(back), calib_px, rtol=1e-5)
+
+    xy, z = project_to_image_fisheye(jnp.asarray(pts), calib)
+
+    # torch twin (fisheye.py:80-108)
+    tp = torch.from_numpy(pts)
+    tc = torch.from_numpy(np.asarray(calib))
+    tpn = tp / torch.norm(tp, dim=-1, keepdim=True)
+    txy = tpn[..., 0:2]
+    tz = tpn[..., 2:3]
+    txy = txy / (tz + tc[..., 0:1].unsqueeze(-2))
+    r = torch.sum(torch.square(txy), dim=-1)
+    factor = 1 + tc[..., 1:2] * r + tc[..., 2:3] * torch.square(r)
+    txy = txy * factor.unsqueeze(-1)
+    txy = txy * tc[..., 3:5].unsqueeze(-2) + tc[..., 5:7].unsqueeze(-2)
+
+    np.testing.assert_allclose(np.asarray(xy), txy.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), tz.numpy(), atol=1e-6)
