@@ -110,6 +110,29 @@ def occupancy_metrics(pred_occ, gt_occ, mask=None):
     }
 
 
+def compute_occ_metrics_visible(pred_occ, gt_occ, is_visible):
+    """Exact-parity occupancy metrics with the visibility rule
+    (metrics.py:116-151 / wrapper.py create_occ_eval): only non-visible
+    points can be occupied (gt &= ~visible); o_* over all points, ie_*
+    over the non-visible (invisible-empty) set."""
+    pred = jnp.asarray(pred_occ, bool).reshape(-1)
+    vis = jnp.asarray(is_visible, bool).reshape(-1)
+    gt = jnp.asarray(gt_occ, bool).reshape(-1) & ~vis
+
+    mean_where = lambda x, m: jnp.sum(x & m) / jnp.maximum(jnp.sum(m), 1)
+    return {
+        "o_acc": jnp.mean(pred == gt),
+        "o_prec": mean_where(gt, pred),
+        "o_rec": mean_where(pred, gt),
+        "ie_acc": mean_where(pred == gt, ~vis),
+        "ie_prec": mean_where(~gt, ~pred & ~vis),
+        "ie_rec": mean_where(~pred, ~gt & ~vis),
+        "ie_r": jnp.mean(~gt & ~vis),
+        "t_ie": jnp.sum(~gt & ~vis),
+        "t_no_nop_nv": jnp.sum((~gt & ~pred) & (~vis & ~gt)),
+    }
+
+
 def fg_ari(pred_labels, gt_labels, fg_mask):
     """Foreground Adjusted Rand Index (metrics.py FG_ARI:483), numpy host
     implementation (the reference uses sklearn/skimage)."""

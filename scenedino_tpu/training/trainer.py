@@ -435,6 +435,12 @@ def stage1_eval_forward(
     }
     if "depths" in batch:
         data["depths_gt"] = batch["depths"]
+    if "occ_pts" in batch:
+        # occupancy eval (wrapper.py create_occ_eval:128-183): query the
+        # density field at the dataset's occupancy probe points
+        occ_pts = batch["occ_pts"].reshape(B, -1, 3)
+        _, _, dens, _ = field.apply(params, state, occ_pts, only_density=True)
+        data["occ_densities"] = dens
     return data
 
 

@@ -282,10 +282,11 @@ def make_stage1_validator(
         )
     )
     metric_types = [m["type"] for m in val_cfg.get("metrics", [])]
+    metric_args = {m["type"]: (m.get("args") or {}) for m in val_cfg.get("metrics", [])}
 
     def run(state, key):
         accs: Dict[str, DictMeanAccumulator] = {
-            t: DictMeanAccumulator(t) for t in metric_types if t in ("depth", "dino", "nvs")
+            t: DictMeanAccumulator(t) for t in metric_types if t in ("depth", "dino", "nvs", "occ")
         }
         panels = None
         for batch in batches_fn():
@@ -297,6 +298,19 @@ def make_stage1_validator(
                 accs["dino"].update(compute_dino_metrics(data))
             if "nvs" in accs:
                 accs["nvs"].update(compute_nvs_metrics(data))
+            if "occ" in accs and "occ_densities" in data:
+                # create_occ_eval parity (wrapper.py:128-183): densities
+                # from the field at the dataset probe points; dataset
+                # is_occupied / is_visible drive the metric rule
+                from scenedino_tpu.eval.metrics import compute_occ_metrics_visible
+
+                thr = metric_args.get("occ", {}).get("occ_threshold", 0.5)
+                occ = compute_occ_metrics_visible(
+                    np.asarray(data["occ_densities"]) > thr,
+                    np.asarray(batch["is_occupied"]),
+                    np.asarray(batch["is_visible"]),
+                )
+                accs["occ"].update({k: float(v) for k, v in occ.items()})
             if panels is None:
                 # TB image panels from the first val batch (the reference
                 # logs visualization_fn output per validation run,

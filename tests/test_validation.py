@@ -277,3 +277,57 @@ def test_sweep_trial_pruning(tmp_path):
             validators={"validation": FakeValidator()}, sweep_trial=trial)
     assert len(trial.reports) == 2
     assert trial.reports[0][0] >= 1.0  # running best of the validation score
+
+
+def test_occ_metrics_torch_parity_and_validator():
+    """compute_occ_metrics_visible vs a torch twin of metrics.py:116-151,
+    and the stage-1 'occ' validator type end-to-end."""
+    import torch
+
+    from scenedino_tpu.eval.metrics import compute_occ_metrics_visible
+
+    rng = np.random.RandomState(0)
+    pred = rng.rand(500) > 0.5
+    gt = rng.rand(500) > 0.6
+    vis = rng.rand(500) > 0.7
+
+    out = {k: float(v) for k, v in compute_occ_metrics_visible(pred, gt, vis).items()}
+
+    tp, tg, tv = map(torch.from_numpy, (pred, gt.copy(), vis))
+    tg &= ~tv
+    assert out["o_acc"] == pytest.approx((tp == tg).float().mean().item())
+    assert out["o_prec"] == pytest.approx(tg[tp].float().mean().item())
+    assert out["o_rec"] == pytest.approx(tp[tg].float().mean().item())
+    assert out["ie_acc"] == pytest.approx((tp == tg)[~tv].float().mean().item())
+    assert out["ie_prec"] == pytest.approx((~tg)[(~tp) & (~tv)].float().mean().item())
+    assert out["ie_rec"] == pytest.approx((~tp)[(~tg) & (~tv)].float().mean().item())
+    assert out["ie_r"] == pytest.approx(((~tg) & (~tv)).float().mean().item())
+    assert out["t_ie"] == pytest.approx(((~tg) & (~tv)).float().sum().item())
+
+    # validator end-to-end with occ probe points in the batch
+    from scenedino_tpu.renderer.nerf import RenderConfig
+    from scenedino_tpu.training.trainer import TrainConfig, init_train_state
+    from scenedino_tpu.training.validation import make_stage1_validator
+    from tests.test_trainer_stage1 import build_batch, build_field, init_all
+
+    field = build_field()
+    tcfg = TrainConfig(ray_batch_size=64, patch_size=4, compensate_artifacts=False,
+                       grid_shift_augmentation=False)
+    batch = build_batch()
+    n_occ = 128
+    batch["occ_pts"] = jnp.asarray(rng.rand(2, n_occ, 3).astype(np.float32) * 8 + 1)
+    batch["is_occupied"] = jnp.asarray(rng.rand(2 * n_occ) > 0.5)
+    batch["is_visible"] = jnp.asarray(rng.rand(2 * n_occ) > 0.5)
+    params = init_all(field, batch, tcfg)
+    state, _ = init_train_state(field, params, tcfg)
+
+    vcfg = {
+        "metrics": [{"type": "occ", "args": {"occ_threshold": 0.5}}],
+        "events": [{"type": "ITERATION_COMPLETED", "args": {"every": 100}}],
+    }
+    v = make_stage1_validator("validation", vcfg, field, tcfg, RenderConfig(n_coarse=8),
+                              lambda: iter([batch]))
+    metrics = v(state, jax.random.PRNGKey(0))
+    for k in ("occ_o_acc", "occ_o_prec", "occ_ie_acc", "occ_ie_r"):
+        assert k in metrics, sorted(metrics)
+        assert 0.0 <= metrics[k] <= 1.0
