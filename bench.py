@@ -151,6 +151,45 @@ def main():
 
     dt_ssc = device_time(ssc_step, fs0, pts, iters=6)
 
+    # stage-1 training step (fwd+bwd+adam, flagship shapes, batch 1) —
+    # the production training cost alongside the serving numbers
+    dt_train = None
+    try:
+        from scenedino_tpu.losses.reconstruction import ReconstructionLossConfig
+        from scenedino_tpu.renderer.nerf import RenderConfig
+        from scenedino_tpu.training.trainer import (
+            TrainConfig,
+            init_train_state,
+            make_train_step,
+        )
+
+        V = 4
+        tcfg = TrainConfig(ray_batch_size=2048, patch_size=8, compensate_artifacts=False)
+        t_imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, V, 3, H, W), jnp.float32) * 2 - 1
+        t_poses = jnp.broadcast_to(jnp.eye(4), (1, V, 4, 4))
+        t_poses = t_poses.at[:, :, 0, 3].add(jnp.arange(V)[None] * 0.2)
+        t_projs = jnp.broadcast_to(
+            jnp.array([[0.7, 0, 0], [0, 2.3, 0], [0, 0, 1.0]]), (1, V, 3, 3)
+        )
+        t_batch = {"imgs": t_imgs, "poses": t_poses, "projs": t_projs}
+        t_params = field.init(
+            {"params": jax.random.PRNGKey(0), "augment": jax.random.PRNGKey(0)},
+            t_imgs, t_projs, t_poses, method=SceneField.warmup,
+        )
+        t_state, t_tx = init_train_state(field, t_params, tcfg)
+        t_step = jax.jit(make_train_step(field, tcfg, RenderConfig(n_coarse=K),
+                                         ReconstructionLossConfig(), t_tx))
+
+        def train_timed(state, batch, salt):
+            b = dict(batch)
+            b["imgs"] = b["imgs"] + (salt * 1e-30).astype(b["imgs"].dtype)
+            _, losses = t_step(state, b, jax.random.PRNGKey(2))
+            return losses["rec_loss"]
+
+        dt_train = device_time(train_timed, t_state, t_batch, iters=4)
+    except Exception as e:  # keep the serving bench alive on train-side issues
+        print(f"train-step bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     rays = H * W
     baseline_imgs_per_sec = 2.0  # ESTIMATE: A100 torch single-image SSC fwd
     print(
@@ -182,6 +221,9 @@ def main():
                         "ms_per_image": round(dt_enc * 1e3, 2),
                     },
                     "ssc_2M_voxel_query_ms": round(dt_ssc * 1e3, 2),
+                    "train_step_ms_batch1": (
+                        round(dt_train * 1e3, 2) if dt_train else None
+                    ),
                     "samples_per_ray": K,
                     "timing": "chained-in-jit device time (see utils/benchmarking.py)",
                     "device": str(jax.devices()[0]),
