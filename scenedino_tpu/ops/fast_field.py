@@ -485,8 +485,12 @@ def render_novel_view_fused_sharded(
     DataParallel, nerf.py:641-658). Rays and strata are generated
     globally, so the result is bit-identical to the single-device fused
     renderer for any mesh size (exactness-tested on the CPU mesh)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     from scenedino_tpu.core import rays as rays_mod
     from scenedino_tpu.core import sampling as S
@@ -520,7 +524,6 @@ def render_novel_view_fused_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
-        check_rep=False,
     )
     depth, dino, rgb = f(fs, rays_seg, z_seg)
     depth = depth.reshape(height, width)
