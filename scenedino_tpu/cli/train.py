@@ -127,6 +127,7 @@ def run_stage1(config, sweep_trial=None):
         z_near=rs.get("z_near", 3.0),
         z_far=rs.get("z_far", 80.0),
         compensate_artifacts=config["model"].get("compensate_artifacts", True),
+        dino_upscaled=rs.get("args", {}).get("dino_upscaled", False),
         flip_augmentation=config["model"].get("flip_augmentation", True),
         grid_shift_augmentation=config["model"].get("grid_shift_augmentation", True),
         gradient_accum_factor=config.get("gradient_accum_factor", 1),

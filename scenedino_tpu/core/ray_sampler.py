@@ -119,8 +119,15 @@ class PatchRaySampler:
 
         Bd, Vd, Cd, Gh, Gw = dino_features.shape
         dflat = dino_features.transpose(0, 1, 3, 4, 2).reshape(B, Vd * Gh * Gw, Cd)
-        didx = (pv * Gh + patch_y) * Gw + patch_x  # (B, PC)
-        dino_gt = jnp.take_along_axis(dflat, didx[..., None], axis=1)
+        if self.dino_upscaled:
+            # pixel-resolution teacher (upsample-gt mode): one gt vector per
+            # RAY, sliced like the rgb patch (ray_sampler.py:255-258)
+            assert (Gh, Gw) == (H, W), "upscaled dino gt must match image res"
+            dino_gt = jnp.take_along_axis(dflat, flat[..., None], axis=1)  # (B, R, Cd)
+        else:
+            # patch-grid teacher: one gt vector per PATCH (ray_sampler.py:259-262)
+            didx = (pv * Gh + patch_y) * Gw + patch_x  # (B, PC)
+            dino_gt = jnp.take_along_axis(dflat, didx[..., None], axis=1)
         return rays_out, rgb_gt, dino_gt
 
     def reconstruct(self, flat, trailing_shape=()):

@@ -56,6 +56,9 @@ class TrainConfig:
     uncertainty_predictor_res: int = 0
     predict_consistency: bool = False
     consistency_rays: int = 512
+    # pixel-resolution teacher gt (upsample-gt configs, dino_upsampler.yaml:
+    # ray_sampler dino_upscaled) — one gt vector per ray instead of per patch
+    dino_upscaled: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -188,7 +191,8 @@ def stage1_forward(
     )
 
     sampler = PatchRaySampler(
-        cfg.z_near, cfg.z_far, ray_batch_size=cfg.ray_batch_size, patch_size=cfg.patch_size
+        cfg.z_near, cfg.z_far, ray_batch_size=cfg.ray_batch_size,
+        patch_size=cfg.patch_size, dino_upscaled=cfg.dino_upscaled,
     )
 
     # rgb_gt must live in the render-color space [0, 1]: the reference's RGB
@@ -217,6 +221,10 @@ def stage1_forward(
     )
 
     if artifact_field is not None:
+        assert not cfg.dino_upscaled, (
+            "artifact compensation is tied to the patch-grid teacher "
+            "(downsample-prediction configs)"
+        )
         Cd = artifact_field.shape[0]
         dino_artifacts = dino_gt[..., dino_gt.shape[-1] - Cd:]
         dino_gt = dino_gt[..., : dino_gt.shape[-1] - Cd]
@@ -257,9 +265,14 @@ def stage1_forward(
     # "dino_features_downsampled" feeds the cosine loss.
     dino_768 = field.apply(params, coarse["dino_features"], method=SceneField.expand_dim)
     coarse["dino_features"] = dino_768
-    down = field.apply(
-        params, dino_768.reshape(B, PC, P, P, 1, -1), "patch", method=SceneField.downsample
-    )
+    if cfg.dino_upscaled:
+        # upsample-gt mode: the teacher is per pixel; the prediction is
+        # compared per pixel too (no downsampling, trainer.py:282-296)
+        down = None
+    else:
+        down = field.apply(
+            params, dino_768.reshape(B, PC, P, P, 1, -1), "patch", method=SceneField.downsample
+        )
     if down is not None:
         pooled = down.reshape(B, PC, 1, 1, -1)
     else:
@@ -267,7 +280,11 @@ def stage1_forward(
     if dino_artifacts is not None:
         pooled = pooled + dino_artifacts.reshape(B, PC, 1, 1, -1)
     coarse["dino_features_downsampled"] = pooled
-    dgt = dino_gt.reshape(B, PC, 1, 1, -1)
+    if cfg.dino_upscaled:
+        # per-ray gt: compare the per-pixel prediction directly
+        dgt = sampler.reconstruct(dino_gt)  # (B, PC, P, P, Cd)
+    else:
+        dgt = dino_gt.reshape(B, PC, 1, 1, -1)
 
     data = {
         "rgb_gt": sampler.reconstruct(rgb_gt),

@@ -226,3 +226,55 @@ def test_uncertainty_and_consistency_branches():
     assert cons["xyz"].shape == (2, 16, 3)
     assert cons["render_dict_1"]["coarse"]["depth"].shape == (2, 16)
     assert np.isfinite(np.asarray(cons["depth_abs"]))
+
+
+def test_dino_upscaled_gt_sampling():
+    """dino_upscaled=True (upsample-gt configs): the sampler returns one
+    PIXEL-level teacher vector per ray, sliced exactly like the rgb patch
+    (ray_sampler.py:254-258); stage-1 forward consumes it per ray."""
+    from scenedino_tpu.core.ray_sampler import PatchRaySampler
+
+    B, V, C, H, W = 1, 2, 3, 16, 32
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (B, V, C, H, W))
+    poses = jnp.broadcast_to(jnp.eye(4), (B, V, 4, 4))
+    ks = jnp.broadcast_to(jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (B, V, 3, 3))
+    # teacher "features" = pixel coordinates, so gathered values identify pixels
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    dino = jnp.stack([
+        jnp.broadcast_to(yy, (V, H, W)),
+        jnp.broadcast_to(xx, (V, H, W)),
+        jnp.arange(V)[:, None, None] * jnp.ones((V, H, W)),
+    ], 1).astype(jnp.float32)[None]  # (B, V, 3, H, W)
+
+    sampler = PatchRaySampler(3.0, 80.0, ray_batch_size=64, patch_size=4, dino_upscaled=True)
+    rays, rgb_gt, dino_gt = sampler.sample(key, imgs, poses, ks, dino_features=dino)
+    assert dino_gt.shape == (B, 64, 3)
+    # per-ray xy channels of the ray encode the sampled pixel; compare
+    patches = sampler.reconstruct(dino_gt)  # (B, PC, P, P, 3)
+    # within each patch, the y/x teacher values form a contiguous 4x4 block
+    py = np.asarray(patches[0, :, :, :, 0])
+    px = np.asarray(patches[0, :, :, :, 1])
+    for pc in range(py.shape[0]):
+        assert np.all(py[pc] == py[pc, 0, 0] + np.arange(4)[:, None])
+        assert np.all(px[pc] == px[pc, 0, 0] + np.arange(4)[None, :])
+
+    # stage-1 forward end-to-end with a pixel-res teacher (patch_size=1
+    # dummy encoder = upscaled gt grid)
+    from scenedino_tpu.renderer.nerf import RenderConfig
+    from scenedino_tpu.training.trainer import TrainConfig, init_train_state, make_train_step
+
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=1, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=FieldConfig(dino_dims=6, z_near=3.0, z_far=80.0))
+    tcfg = TrainConfig(
+        ray_batch_size=64, patch_size=4, compensate_artifacts=False,
+        grid_shift_augmentation=False, dino_upscaled=True,
+    )
+    batch = build_batch()
+    params = init_all(field, batch, tcfg)
+    state, tx = init_train_state(field, params, tcfg)
+    lcfg = ReconstructionLossConfig(lambda_dino_edge_aware_smoothness=0.0)
+    step = jax.jit(make_train_step(field, tcfg, RenderConfig(n_coarse=8), lcfg, tx))
+    state2, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(losses["rec_loss"])
+    assert "loss_dino_coarse" in losses
