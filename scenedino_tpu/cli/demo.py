@@ -76,16 +76,23 @@ def inference_rendered_2d(field, params, state, image_size=(192, 640), n_coarse=
     return depth, dino768
 
 
-def inference_3d(field, params, state, x_range=(-10, 10), y_range=(-5, 5), z_range=(0, 20), resolution=0.2):
+def grid_axes(x_range=(-10, 10), y_range=(-5, 5), z_range=(0, 20), resolution=0.2):
+    """The exact demo grid axes (np.arange semantics) — callers needing the
+    grid SHAPE must use these lengths, not range/resolution arithmetic."""
+    xs = np.arange(x_range[0], x_range[1], resolution, dtype=np.float32)
+    ys = np.arange(y_range[0], y_range[1], resolution, dtype=np.float32)
+    zs = np.arange(z_range[0], z_range[1], resolution, dtype=np.float32)
+    return xs, ys, zs
+
+
+def inference_3d(field, params, state, x_range=(-10, 10), y_range=(-5, 5), z_range=(0, 20), resolution=0.2, mode="stego_kmeans"):
     """Dense grid query (demo_utils/utils.py:144-186): returns
     (xyz (N, 3), dino_768, sigma, seg or None)."""
     import jax.numpy as jnp
 
     from scenedino_tpu.models.field import SceneField
 
-    xs = np.arange(x_range[0], x_range[1], resolution, dtype=np.float32)
-    ys = np.arange(y_range[0], y_range[1], resolution, dtype=np.float32)
-    zs = np.arange(z_range[0], z_range[1], resolution, dtype=np.float32)
+    xs, ys, zs = grid_axes(x_range, y_range, z_range, resolution)
     gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
     xyz = np.stack([gx, gy, gz], -1).reshape(-1, 3)
 
@@ -95,7 +102,7 @@ def inference_3d(field, params, state, x_range=(-10, 10), y_range=(-5, 5), z_ran
         block = jnp.asarray(xyz[i : i + chunk])[None]
         if field.downstream is not None:
             dino768, sigma, seg = field.apply(
-                params, state, block, method=SceneField.query_segmentation
+                params, state, block, mode=mode, method=SceneField.query_segmentation
             )
             outs_seg.append(np.asarray(jnp.argmax(seg, -1) if seg.ndim > 2 else seg)[0] if seg is not None else None)
         else:

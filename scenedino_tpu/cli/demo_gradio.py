@@ -66,6 +66,7 @@ def demo_run(
 
     from scenedino_tpu.cli.demo import (
         default_camera,
+        grid_axes,
         inference_3d,
         inference_rendered_2d,
         load_image,
@@ -75,12 +76,17 @@ def demo_run(
     from scenedino_tpu.datasets.labels import TRAIN_CLASS_COLORS
     from scenedino_tpu.models.field import SceneField
 
-    nx = int(2 * x_range / resolution)
-    ny = int(2 * y_range / resolution)
-    nz = int(z_range / resolution)
-    if nx * ny * nz > MAX_VOXEL_COUNT:
+    # grid dims from the SAME np.arange axes inference_3d will use —
+    # round()/int() arithmetic disagrees with arange for many
+    # slider-reachable (range, resolution) pairs
+    xs_ax, ys_ax, zs_ax = grid_axes(
+        (-x_range, x_range), (-y_range, y_range), (0.0, z_range), resolution
+    )
+    grid_shape = (len(xs_ax), len(ys_ax), len(zs_ax))
+    n_vox = grid_shape[0] * grid_shape[1] * grid_shape[2]
+    if n_vox > MAX_VOXEL_COUNT:
         raise ValueError(
-            f"Too many voxels ({nx * ny * nz / 1e6:.1f}M > "
+            f"Too many voxels ({n_vox / 1e6:.1f}M > "
             f"{MAX_VOXEL_COUNT / 1e6:.1f}M); lower ranges or raise resolution"
         )
 
@@ -93,26 +99,31 @@ def demo_run(
 
     depth, dino768 = inference_rendered_2d(field, params, state, image_size)
     want_seg = mode.startswith("SSC")
+    seg_mode = "direct_linear" if mode == "SSC (linear)" else "stego_kmeans"
     xyz, dino3d, sigma, seg = inference_3d(
         field, params, state,
         x_range=(-x_range, x_range), y_range=(-y_range, y_range),
-        z_range=(0.0, z_range), resolution=resolution,
+        z_range=(0.0, z_range), resolution=resolution, mode=seg_mode,
     )
 
     # 2D panel
     if mode.startswith("Feature PCA"):
         start = {"Feature PCA 1-3": 0, "Feature PCA 4-6": 3, "Feature PCA 7-9": 6}[mode]
         panel = vis2d.get_dino_pca(dino768, from_dim=start)
+    elif want_seg and field.downstream is not None:
+        # rendered 2D segmentation in the chosen mode (demo_gradio.py:49-85)
+        from scenedino_tpu.models.field import SceneField as _SF
+
+        seg2d_lbl = np.asarray(
+            field.apply(params, jnp.asarray(dino768)[None], mode=seg_mode,
+                        method=_SF.segment_features)[1]
+        ).reshape(*dino768.shape[:2])
+        panel = vis2d.get_segmentation(seg2d_lbl)
     else:
         panel = vis2d.get_depth(depth)
     vis = (np.clip(panel, 0, 1) * 255).astype(np.uint8)
 
     # 3D voxels: grid-shaped occupancy + per-voxel colors
-    grid_shape = (
-        int(round(2 * x_range / resolution)),
-        int(round(2 * y_range / resolution)),
-        int(round(z_range / resolution)),
-    )
     occ = (np.asarray(sigma).reshape(grid_shape) > sigma_threshold)
     if want_seg and seg is not None:
         cls = np.clip(np.asarray(seg).reshape(grid_shape), 0, 18)

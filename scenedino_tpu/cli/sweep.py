@@ -93,7 +93,7 @@ def run_sweep(spec: dict, backend: str = "random", seed: int = 0):
 
     results = []
 
-    def one_trial(i, trial, overrides):
+    def one_trial(i, trial, overrides, reraise_pruned=False):
         config = copy.deepcopy(base)
         for k, v in overrides.items():
             set_by_path(config, k, v)
@@ -102,10 +102,13 @@ def run_sweep(spec: dict, backend: str = "random", seed: int = 0):
         try:
             stage_fn(config, sweep_trial=trial)
             status = "complete"
-        except TrialPruned:
-            status = "pruned"
-        except Exception as e:  # optuna.TrialPruned without optuna import
-            if type(e).__name__ == "TrialPruned":
+        except Exception as e:
+            # optuna.TrialPruned must PROPAGATE to study.optimize so the
+            # trial is recorded as pruned (not completed with its partial
+            # best); the random backend records the status itself
+            if isinstance(e, TrialPruned) or type(e).__name__ == "TrialPruned":
+                if reraise_pruned:
+                    raise
                 status = "pruned"
             else:
                 raise
@@ -139,7 +142,7 @@ def run_sweep(spec: dict, backend: str = "random", seed: int = 0):
                 else:
                     overrides[k] = trial.suggest_float(k, p["min"], p["max"])
             rec = _Recorder(trial)
-            one_trial(trial.number, rec, overrides)
+            one_trial(trial.number, rec, overrides, reraise_pruned=True)
             return rec.best
 
         study = optuna.create_study(
@@ -158,7 +161,10 @@ def run_sweep(spec: dict, backend: str = "random", seed: int = 0):
         results.append({"trial": i, "status": status, "best": trial.best, **overrides})
         logger.info("trial %d %s best=%.5f %s", i, status, trial.best, overrides)
 
-    best = max(results, key=lambda r: r["best"])
+    # pruned trials never finished: exclude them from winner selection
+    # (optuna's study.best_params semantics)
+    completed = [r for r in results if r["status"] == "complete"]
+    best = max(completed or results, key=lambda r: r["best"])
     return {"trials": results, "best": best}
 
 

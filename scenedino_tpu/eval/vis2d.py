@@ -195,8 +195,6 @@ def flow_to_image(flow: np.ndarray) -> np.ndarray:
     mag = mag / max(float(mag.max()), 1e-6)
     ang = np.arctan2(-v, -u) / np.pi  # [-1, 1]
     hue = (ang + 1.0) / 2.0
-    import colorsys
-
     # vectorized HSV->RGB (S = mag, V = 1)
     h6 = hue * 6.0
     i = np.floor(h6).astype(np.int32) % 6

@@ -56,10 +56,11 @@ class _ResnetTrunk(nn.Module):
 
     Returns [stem(str2), layer1(str4), layer2(str8), layer3(str16),
     layer4(str32)] — the same tap points SpatialEncoder uses
-    (spatial_encoder.py:122-140). Input NHWC in [0, 1]; ImageNet
-    normalization baked in (pixelNeRF feeds [-1, 1] images through
-    torchvision models unnormalized, so callers pass raw instead when
-    matching that; see SpatialEncoder below).
+    (spatial_encoder.py:122-140). Input NHWC; NO normalization is applied
+    here — pixelNeRF feeds its [-1, 1] images straight into the
+    torchvision trunk, and callers wanting ImageNet stats must normalize
+    beforehand (monodepth2.ResnetEncoder bakes them in; this trunk does
+    not).
     """
 
     layers: Tuple[int, ...] = (3, 4, 6, 3)

@@ -427,10 +427,8 @@ def render_novel_view_fused(
 
     Returns (depth (H, W), dino (H, W, d_out-1), rgb (H, W, 3) | None).
     """
-    from scenedino_tpu.core import compositing as C
     from scenedino_tpu.core import rays as rays_mod
     from scenedino_tpu.core import sampling as S
-    from scenedino_tpu.ops.tile_gather import _corners, _blend, _quad_weights
 
     B, V = fs.folded_grid.shape[:2]
     assert B == 1 and V == 1, "novel-view fast render expects 1 encode view"
@@ -532,24 +530,17 @@ def render_novel_view_fused_sharded(
     return depth, dino, rgb
 
 
-def _fused_rows_body(
-    fs: FastFieldState,
-    cfg: FieldConfig,
-    width: int,
-    n_coarse: int,
-    rows_per_seg: int,
-    band: int,
-    want_rgb: bool,
-    hard_alpha_cap: bool,
-):
-    """Per-segment body of the fused novel-view renderer: (rays (rw, 8),
-    z (rw, K)) -> (depth (rw,), dino (rw, D-1), rgb (rw, 3)). Shared by
-    the single-device lax.map and the shard_map-sharded variant."""
-    from scenedino_tpu.core import compositing as C
-    from scenedino_tpu.ops.tile_gather import _corners, _blend, _quad_weights
+def _make_point_eval(fs: FastFieldState, cfg: FieldConfig, band: int):
+    """Shared per-point pipeline of the fused paths: returns
+    (project(pts, rot, trans, K), eval_points(pts (P, 3) -> (P, d_out))).
 
-    K = n_coarse
-    rw = rows_per_seg * width
+    eval_points runs projection -> positional code -> banded/plain
+    bilinear gather (exactness fallback per call) -> folded 2-layer MLP,
+    producing the PRE-softplus head output. Both `render_novel_view_fused`
+    (via `_fused_rows_body`) and `fast_query_fused` build on it, so the
+    band logic and MLP dtype handling exist exactly once."""
+    from scenedino_tpu.ops.tile_gather import _corners, _blend
+
     g2d = fs.folded_grid[0, 0]  # (Hg, Wg, D)
     Hg, Wg, D = g2d.shape
     flat_grid = g2d.reshape(Hg * Wg, D)
@@ -560,37 +551,17 @@ def _fused_rows_body(
     frot = fs.feat_w2c[0, 0, :3, :3]
     ftrans = fs.feat_w2c[0, 0, :3, 3]
     fK = fs.feat_ks[0, 0]
-    if want_rgb:
-        from scenedino_tpu.ops.tile_gather import pack_quads
-
-        img = fs.color_imgs[0, 0]
-        Hc, Wc = img.shape[:2]
-        packed_rgb = pack_quads(img)
-        crot = fs.color_w2c[0, 0, :3, :3]
-        ctrans = fs.color_w2c[0, 0, :3, 3]
-        cK = fs.color_ks[0, 0]
-
     _hi = jax.lax.Precision.HIGHEST
 
     def project(pts, rot, trans, Kmat):
-        cam = (
-            jnp.einsum("ij,pj->pi", rot, pts, precision=_hi) + trans
-        )  # (P, 3)
+        cam = jnp.einsum("ij,pj->pi", rot, pts, precision=_hi) + trans  # (P, 3)
         proj = jnp.einsum("ij,pj->pi", Kmat, cam, precision=_hi)
         zc = proj[:, 2:3]
         xy = proj[:, :2] / jnp.maximum(zc, cameras.EPS)
         xy = jnp.clip(xy, -2.0, 2.0)
         return xy, zc, cam
 
-    def body(args):
-        rays_s, z_s = args  # (rw, 8), (rw, K)
-        pts = rays_s[:, None, :3] + z_s[..., None] * rays_s[:, None, 3:6]
-        # (row, sample, col) ordering -> y-coherent gather segments
-        pts = (
-            pts.reshape(rows_per_seg, width, K, 3)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1, 3)
-        )  # (P_seg, 3)
+    def eval_points(pts):
         xy, zc, cam = project(pts, frot, ftrans, fK)
         if cfg.code_mode == "z":
             depth_like = zc
@@ -602,7 +573,7 @@ def _fused_rows_body(
             cfg.num_freqs,
             cfg.freq_factor,
             cfg.include_input,
-        )  # (P_seg, code_dims)
+        )  # (P, code_dims)
 
         px = (xy[:, 0] + 1.0) * 0.5 * Wg - 0.5
         py = (xy[:, 1] + 1.0) * 0.5 * Hg - 0.5
@@ -615,20 +586,24 @@ def _fused_rows_body(
             ftab = bandtab.reshape(band_c * Wg, D)
             ly0 = (y0i - r0) * Wg
             ly1 = jnp.clip(y1i - r0, 0, band_c - 1) * Wg
-            v00 = jnp.take(ftab, ly0 + x0i, axis=0)
-            v01 = jnp.take(ftab, ly0 + x1i, axis=0)
-            v10 = jnp.take(ftab, ly1 + x0i, axis=0)
-            v11 = jnp.take(ftab, ly1 + x1i, axis=0)
-            return _blend(v00, v01, v10, v11, wx, wy)
+            return _blend(
+                jnp.take(ftab, ly0 + x0i, axis=0),
+                jnp.take(ftab, ly0 + x1i, axis=0),
+                jnp.take(ftab, ly1 + x0i, axis=0),
+                jnp.take(ftab, ly1 + x1i, axis=0),
+                wx, wy,
+            )
 
         def plain():
-            v00 = jnp.take(flat_grid, y0i * Wg + x0i, axis=0)
-            v01 = jnp.take(flat_grid, y0i * Wg + x1i, axis=0)
-            v10 = jnp.take(flat_grid, y1i * Wg + x0i, axis=0)
-            v11 = jnp.take(flat_grid, y1i * Wg + x1i, axis=0)
-            return _blend(v00, v01, v10, v11, wx, wy)
+            return _blend(
+                jnp.take(flat_grid, y0i * Wg + x0i, axis=0),
+                jnp.take(flat_grid, y0i * Wg + x1i, axis=0),
+                jnp.take(flat_grid, y1i * Wg + x0i, axis=0),
+                jnp.take(flat_grid, y1i * Wg + x1i, axis=0),
+                wx, wy,
+            )
 
-        sampled = jax.lax.cond(ok, banded, plain)  # (P_seg, D)
+        sampled = jax.lax.cond(ok, banded, plain)  # (P, D)
 
         h = (
             sampled.astype(jnp.float32)
@@ -651,7 +626,51 @@ def _fused_rows_body(
                 preferred_element_type=jnp.float32,
             )
             + fs.b2
-        )  # (P_seg, d_out)
+        )  # (P, d_out) pre-softplus
+        return out
+
+    return project, eval_points
+
+
+def _fused_rows_body(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    width: int,
+    n_coarse: int,
+    rows_per_seg: int,
+    band: int,
+    want_rgb: bool,
+    hard_alpha_cap: bool,
+):
+    """Per-segment body of the fused novel-view renderer: (rays (rw, 8),
+    z (rw, K)) -> (depth (rw,), dino (rw, D-1), rgb (rw, 3)). Shared by
+    the single-device lax.map and the shard_map-sharded variant."""
+    from scenedino_tpu.core import compositing as C
+    from scenedino_tpu.ops.tile_gather import _quad_weights
+
+    K = n_coarse
+    rw = rows_per_seg * width
+    project, eval_points = _make_point_eval(fs, cfg, band)
+    if want_rgb:
+        from scenedino_tpu.ops.tile_gather import pack_quads
+
+        img = fs.color_imgs[0, 0]
+        Hc, Wc = img.shape[:2]
+        packed_rgb = pack_quads(img)
+        crot = fs.color_w2c[0, 0, :3, :3]
+        ctrans = fs.color_w2c[0, 0, :3, 3]
+        cK = fs.color_ks[0, 0]
+
+    def body(args):
+        rays_s, z_s = args  # (rw, 8), (rw, K)
+        pts = rays_s[:, None, :3] + z_s[..., None] * rays_s[:, None, 3:6]
+        # (row, sample, col) ordering -> y-coherent gather segments
+        pts = (
+            pts.reshape(rows_per_seg, width, K, 3)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 3)
+        )  # (P_seg, 3)
+        out = eval_points(pts)  # (P_seg, d_out) pre-softplus
 
         sigma = out[:, 0].reshape(rows_per_seg, K, width)
         sigma = jax.nn.softplus(sigma.transpose(0, 2, 1).reshape(rw, K))
@@ -702,85 +721,15 @@ def fast_query_fused(
     (sigma, seg_or_dino): seg labels when seg_fn is given, else the
     (P, dino) features (both exact vs the unfused path).
     """
-    from scenedino_tpu.ops.tile_gather import _corners, _blend
-
     if fs.grid_scale is not None:
         raise NotImplementedError("fused path is exact-only (no int8 grid)")
     P = xyz.shape[0]
     assert P % segments == 0, f"P={P} not divisible by segments={segments}"
 
-    g2d = fs.folded_grid[0, 0]
-    Hg, Wg, D = g2d.shape
-    flat_grid = g2d.reshape(Hg * Wg, D)
-    band_c = min(band, Hg)
-
-    frot = fs.feat_w2c[0, 0, :3, :3]
-    ftrans = fs.feat_w2c[0, 0, :3, 3]
-    fK = fs.feat_ks[0, 0]
-    _hi = jax.lax.Precision.HIGHEST
+    _, eval_points = _make_point_eval(fs, cfg, band)
 
     def body(pts):
-        cam = jnp.einsum("ij,pj->pi", frot, pts, precision=_hi) + ftrans
-        proj = jnp.einsum("ij,pj->pi", fK, cam, precision=_hi)
-        zc = proj[:, 2:3]
-        xy = jnp.clip(proj[:, :2] / jnp.maximum(zc, cameras.EPS), -2.0, 2.0)
-        if cfg.code_mode == "z":
-            depth_like = zc
-        else:
-            depth_like = jnp.linalg.norm(cam, axis=-1, keepdims=True)
-        zn = encoding.normalize_z(depth_like, cfg.z_near, cfg.z_far, inv_z=cfg.inv_z)
-        code = encoding.positional_encoding(
-            jnp.concatenate([xy, zn], -1),
-            cfg.num_freqs,
-            cfg.freq_factor,
-            cfg.include_input,
-        )
-
-        px = (xy[:, 0] + 1.0) * 0.5 * Wg - 0.5
-        py = (xy[:, 1] + 1.0) * 0.5 * Hg - 0.5
-        (y0i, x0i, y1i, x1i), (wx, wy) = _corners(px, py, Hg, Wg)
-        r0 = jnp.clip(jnp.min(y0i), 0, Hg - band_c)
-        ok = jnp.all(y1i < r0 + band_c) & jnp.all(y0i >= r0)
-
-        def banded():
-            bandtab = jax.lax.dynamic_slice(g2d, (r0, 0, 0), (band_c, Wg, D))
-            ftab = bandtab.reshape(band_c * Wg, D)
-            ly0 = (y0i - r0) * Wg
-            ly1 = jnp.clip(y1i - r0, 0, band_c - 1) * Wg
-            return _blend(
-                jnp.take(ftab, ly0 + x0i, axis=0),
-                jnp.take(ftab, ly0 + x1i, axis=0),
-                jnp.take(ftab, ly1 + x0i, axis=0),
-                jnp.take(ftab, ly1 + x1i, axis=0),
-                wx, wy,
-            )
-
-        def plain():
-            return _blend(
-                jnp.take(flat_grid, y0i * Wg + x0i, axis=0),
-                jnp.take(flat_grid, y0i * Wg + x1i, axis=0),
-                jnp.take(flat_grid, y1i * Wg + x0i, axis=0),
-                jnp.take(flat_grid, y1i * Wg + x1i, axis=0),
-                wx, wy,
-            )
-
-        sampled = jax.lax.cond(ok, banded, plain)
-        h = (
-            sampled.astype(jnp.float32)
-            + jnp.einsum(
-                "pc,cd->pd", code.astype(fs.w_code.dtype), fs.w_code,
-                preferred_element_type=jnp.float32,
-            )
-            + fs.b1
-        )
-        h = jax.nn.relu(h)
-        if fs.w2.dtype == jnp.bfloat16:
-            h = h.astype(jnp.bfloat16)
-        out = (
-            jnp.einsum("pd,de->pe", h.astype(fs.w2.dtype), fs.w2,
-                       preferred_element_type=jnp.float32)
-            + fs.b2
-        )
+        out = eval_points(pts)  # (P_seg, d_out) pre-softplus
         sigma = jax.nn.softplus(out[:, 0])
         dino = out[:, 1:]
         if seg_fn is not None:

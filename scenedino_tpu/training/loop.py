@@ -270,7 +270,13 @@ def fit(
                     state = run_validation(
                         state, it, validators, vkey, tb, cfg, best, update_model_fn
                     )
-                    if sweep_trial is not None and "validation" in best:
+                    v = validators.get("validation")
+                    due = v is not None and it % (
+                        getattr(v, "every", None) or cfg.validate_every
+                    ) == 0
+                    # report once per completed validation pass, matching the
+                    # reference's run_validation hook (base_trainer.py:131-134)
+                    if sweep_trial is not None and due and "validation" in best:
                         sweep_trial.report(best["validation"], it)
                         if sweep_trial.should_prune():
                             try:

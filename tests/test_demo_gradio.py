@@ -58,3 +58,16 @@ def test_gradio_gate():
     except ImportError:
         with pytest.raises(ImportError, match="gradio"):
             _require_gradio()
+
+
+def test_demo_run_arange_grid_shapes(tmp_path):
+    """Regression: (range, resolution) pairs where round(range/res) differs
+    from the np.arange axis length must not crash the reshape."""
+    field, params, img_path = _small_field(tmp_path)
+    vis, ply = demo_run(
+        field, params, img_path, mode=MODES[1], sigma_threshold=0.05,
+        resolution=0.15, x_range=2.0, y_range=2.0, z_range=4.0,
+        image_size=(H, W),
+    )
+    assert vis.shape == (H, W, 3)
+    assert os.path.exists(ply)
