@@ -3,8 +3,9 @@
 Behavioral parity target: `scenedino/models/backbones/backbone_util.py:7-19`
 (make_backbone switch: monodepth2 | dino | spatial/pixelNeRF | ibrnet).
 The shipped SceneDINO configs use the dino stack; monodepth2 is the S4C
-baseline. pixelNeRF SpatialEncoder / IBRNet are legacy paths the shipped
-configs never select — requesting them raises with a pointer.
+baseline. pixelNeRF SpatialEncoder/ImageEncoder and IBRNetWithNeuRay are
+legacy paths the shipped configs never select, implemented for inventory
+completeness (models/pixelnerf.py, models/multi_view_head.py).
 """
 from __future__ import annotations
 
@@ -43,8 +44,16 @@ def make_backbone(conf: Dict[str, Any]) -> nn.Module:
             backbone=conf.get("backbone", "resnet34"),
             latent_size=conf.get("latent_size", 128),
         )
+    if kind == "ibrnet":
+        from scenedino_tpu.models.multi_view_head import IBRNetWithNeuRay
+
+        return IBRNetWithNeuRay(
+            neuray_in_dim=conf.get("neuray_in_dim", 32),
+            in_feat_ch=conf.get("in_feat_ch", 32),
+            att_feat=conf.get("att_feat", 16),
+            rbs=conf.get("rbs", 2048),
+        )
     raise NotImplementedError(
         f"backbone '{kind}': dino stack, monodepth2 (S4C baseline), "
-        "spatial (pixelNeRF), and global are implemented; ibrnet is an "
-        "unused legacy path of the reference"
+        "spatial (pixelNeRF), global, and ibrnet are implemented"
     )

@@ -242,7 +242,10 @@ class SceneField(nn.Module):
         cfg = self.cfg
         feats, invalid_features = self.sample_features(state, xyz)  # (B, P, V, D)
 
-        head_outputs = {name: head(feats) for name, head in self.heads.items()}
+        head_outputs = {
+            name: head(feats, invalid_features=invalid_features)
+            for name, head in self.heads.items()
+        }
         if "normal_head" in head_outputs and "dino_head" in head_outputs:
             mlp_out = jnp.concatenate(
                 [head_outputs["normal_head"], head_outputs["dino_head"]], axis=-1

@@ -141,4 +141,9 @@ def make_head(conf: dict, d_in: int, d_out: int) -> nn.Module:
             combine_layer=args.get("combine_layer", 1000),
             combine_type=args.get("combine_type", "average"),
         )
+    if kind in ("MultiViewHead", "SimpleMultiViewHead", "MultiViewHead2", "MultiViewHead3"):
+        # legacy BTS attention-aggregation heads (multi_view_head.py)
+        from scenedino_tpu.models.multi_view_head import make_multi_view_head
+
+        return make_multi_view_head(kind, args or dict(conf), conf.get("d_in", d_in), d_out)
     raise ValueError(f"unknown head type: {kind}")
