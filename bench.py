@@ -47,9 +47,7 @@ def build():
     projs = jnp.broadcast_to(
         jnp.array([[0.7, 0.0, 0.0], [0.0, 2.3, 0.0], [0.0, 0.0, 1.0]]), (1, 1, 3, 3)
     )
-    params = field.init(
-        {"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup
-    )
+    params = field.warmup_init(key, imgs, projs, poses)
     return field, params, imgs, projs, poses
 
 
@@ -172,10 +170,7 @@ def main():
             jnp.array([[0.7, 0, 0], [0, 2.3, 0], [0, 0, 1.0]]), (1, V, 3, 3)
         )
         t_batch = {"imgs": t_imgs, "poses": t_poses, "projs": t_projs}
-        t_params = field.init(
-            {"params": jax.random.PRNGKey(0), "augment": jax.random.PRNGKey(0)},
-            t_imgs, t_projs, t_poses, method=SceneField.warmup,
-        )
+        t_params = field.warmup_init(jax.random.PRNGKey(0), t_imgs, t_projs, t_poses)
         t_state, t_tx = init_train_state(field, t_params, tcfg)
         t_step = jax.jit(make_train_step(field, tcfg, RenderConfig(n_coarse=K),
                                          ReconstructionLossConfig(), t_tx))

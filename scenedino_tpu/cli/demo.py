@@ -135,10 +135,7 @@ def main():
     K, pose = default_camera()
 
     key = jax.random.PRNGKey(0)
-    params = field.init(
-        {"params": key, "augment": key}, jnp.asarray(img), jnp.asarray(K),
-        jnp.asarray(pose), method=SceneField.warmup,
-    )
+    params = field.warmup_init(key, jnp.asarray(img), jnp.asarray(K), jnp.asarray(pose))
     if args.ckpt:
         if args.ckpt.endswith(".pt"):
             import torch

@@ -191,10 +191,8 @@ def main():  # pragma: no cover - needs gradio + checkpoint
     field = build_model(variant=args.variant)
     K, pose = default_camera()
     key = jax.random.PRNGKey(0)
-    params = field.init(
-        {"params": key, "augment": key},
-        jnp.zeros((1, 1, 3, 192, 640)), jnp.asarray(K), jnp.asarray(pose),
-        method=SceneField.warmup,
+    params = field.warmup_init(
+        key, jnp.zeros((1, 1, 3, 192, 640)), jnp.asarray(K), jnp.asarray(pose)
     )
     if args.ckpt.endswith(".pt"):
         import torch

@@ -53,9 +53,7 @@ def main():
         jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
         jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
     )
-    variables = field.init(
-        {"params": key, "augment": key}, *dummy, method=SceneField.warmup
-    )
+    variables = field.warmup_init(key, *dummy)
     if args.ckpt.endswith(".pt"):
         import torch
 

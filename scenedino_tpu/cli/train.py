@@ -137,10 +137,7 @@ def run_stage1(config, sweep_trial=None):
     sample = train_ds[0]
     batch0 = {k: jnp.asarray(v)[None] for k, v in sample.items() if k in ("imgs", "poses", "projs")}
     key = jax.random.PRNGKey(config.get("seed", 0))
-    params = field.init(
-        {"params": key, "augment": key},
-        batch0["imgs"], batch0["projs"], batch0["poses"], method=SceneField.warmup,
-    )
+    params = field.warmup_init(key, batch0["imgs"], batch0["projs"], batch0["poses"])
     H, W = config["model"]["encoder"].get("image_size", (192, 640))
     gt_patch = getattr(field.encoder, "gt_patch_size", 8)
     # teacher latent size: vit_overrides width if set, else the preset width
@@ -262,10 +259,8 @@ def run_stage2(config, sweep_trial=None):
     sample = train_ds[0]
     batch0 = {k: jnp.asarray(v)[None] for k, v in sample.items() if k in ("imgs", "poses", "projs")}
     key = jax.random.PRNGKey(config.get("seed", 0))
-    field_params = field.init(
-        {"params": key, "augment": key},
-        batch0["imgs"][:, :1], batch0["projs"][:, :1], batch0["poses"][:, :1],
-        method=SceneField.warmup,
+    field_params = field.warmup_init(
+        key, batch0["imgs"][:, :1], batch0["projs"][:, :1], batch0["poses"][:, :1]
     )
     resume_from = config.get("resume_from")
     if resume_from:

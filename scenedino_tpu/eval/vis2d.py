@@ -121,6 +121,19 @@ def get_ray_entropy(weights: np.ndarray, z_samps: Optional[np.ndarray] = None) -
     return get_alpha_profile(weights)
 
 
+def get_ray_entropy_weights(weights: np.ndarray) -> np.ndarray:
+    """Entropy of the compositing WEIGHTS distribution (vis_2d.py:335-348;
+    `get_ray_entropy` :319 is the same formula on raw alphas — pass
+    whichever array you have)."""
+    return get_alpha_profile(weights)
+
+
+def get_per_patch_weight(weight: np.ndarray) -> np.ndarray:
+    """Salience-downsampler learned per-patch weights, min-max normalized
+    (get_dino_downsampling_per_patch_weight, vis_2d.py:264-271)."""
+    return colormap(_norm01(weight))
+
+
 def get_alpha_sum(weights: np.ndarray) -> np.ndarray:
     """Total ray opacity Σ_k w_k (vis_2d.py:351-361); dark = transparent."""
     s = np.clip(np.asarray(weights, np.float32).sum(-1), 0, 1)
@@ -286,6 +299,8 @@ def tb_visualize(data: Dict[str, np.ndarray], z_near=3.0, z_far=80.0) -> Dict[st
         out["downsample_weight"] = get_downsampling_weight(data["downsample_weight"])
     if "downsample_salience" in data:
         out["downsample_salience"] = get_downsampling_salience(data["downsample_salience"])
+    if "per_patch_weight" in data:
+        out["per_patch_weight"] = get_per_patch_weight(data["per_patch_weight"])
     if "flows_fwd" in data and "flows_bwd" in data:
         out["flow"] = get_flow(data["flows_fwd"], data["flows_bwd"])
     if "rendered_flow" in data:

@@ -307,6 +307,25 @@ class SceneField(nn.Module):
             _ = self.predict_uncertainty(images)
         return state
 
+    def warmup_init(self, key, images, ks, poses_c2w):
+        """`field.init(..., method=SceneField.warmup)` under `jax.jit`.
+
+        Eager `init` dispatches the whole warmup graph op-by-op — over an
+        axon-tunneled TPU that is minutes of round trips for the ViT-B
+        flagship. Jitting turns it into ONE compiled program (persisted in
+        the compilation cache), so cold-start init drops to a single
+        compile + execute. Use this from CLIs/benches; tests on CPU can
+        keep plain init.
+        """
+
+        def _init(k, imgs, kmat, poses):
+            return self.init(
+                {"params": k, "augment": k}, imgs, kmat, poses,
+                method=SceneField.warmup,
+            )
+
+        return jax.jit(_init)(key, images, ks, poses_c2w)
+
     def predict_uncertainty(self, images: jnp.ndarray, res: int = 0):
         """Per-pixel uncertainty from the optional predictor backbone.
 

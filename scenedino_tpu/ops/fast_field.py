@@ -530,6 +530,144 @@ def render_novel_view_fused_sharded(
     return depth, dino, rgb
 
 
+def render_novel_view_probe(
+    fs: FastFieldState,
+    cfg: FieldConfig,
+    target_pose_c2w: jnp.ndarray,  # (4, 4) cam2world of the NOVEL camera
+    target_k: jnp.ndarray,  # (3, 3) normalized intrinsics
+    height: int,
+    width: int,
+    key,
+    n_probe: int = 16,
+    n_fine: int = 12,
+    n_uniform: int = 4,
+    probe_stride: int = 2,
+    lindisp: bool = True,
+    hard_alpha_cap: bool = True,
+    band: int = 64,
+    want_rgb: bool = True,
+    rows_per_seg: int = 4,
+):
+    """Two-pass probe-guided novel-view render (empty-space skipping).
+
+    SERVING MODE — different sample placement than `render_novel_view`
+    (which matches the reference's stratified coarse pass): this is the
+    TPU answer to occupancy-grid skipping. The gather is byte-bound
+    (~115 GB/s, tools/bench_gather_matrix.py) so the only remaining lever
+    is FEWER samples per ray:
+
+      pass 1: a sigma-only probe at `probe_stride`-strided resolution
+        ((H/s) x (W/s) rays x n_probe stratified samples; the head's
+        second matmul is sliced to its sigma column) composites to a
+        per-ray weight histogram — where along each ray the mass lives.
+      pass 2: every full-res ray importance-resamples `n_fine` depths
+        from its probe pixel's histogram (`sample_coarse_from_dist`, the
+        reference's proposal resampler, nerf.py:143-179) plus `n_uniform`
+        stratified safety samples (thin structures the probe missed),
+        then renders through the fused per-segment pipeline.
+
+    Per-pixel work: n_probe/s^2 + n_fine + n_uniform points vs the
+    single-pass n_coarse (defaults: 16/4 + 12 + 4 = 20 vs 32). Quality on
+    real scenes is typically BETTER than 32 uniform samples because the
+    fine samples concentrate at the surface.
+
+    Returns (depth (H, W), dino (H, W, d_out-1), rgb (H, W, 3) | None).
+    """
+    from scenedino_tpu.core import rays as rays_mod
+    from scenedino_tpu.core import sampling as S
+
+    B, V = fs.folded_grid.shape[:2]
+    assert B == 1 and V == 1, "novel-view fast render expects 1 encode view"
+    if fs.grid_scale is not None:
+        raise NotImplementedError("fused path is exact-only (no int8 grid)")
+    s = probe_stride
+    assert height % (s * rows_per_seg) == 0 and width % s == 0, (
+        f"H={height} must divide by stride*rows_per_seg={s * rows_per_seg}, "
+        f"W={width} by stride={s}"
+    )
+    Hp, Wp = height // s, width // s
+
+    r, _ = rays_mod.rays_from_k(
+        target_pose_c2w[None], target_k[None], width, height, cfg.z_near, cfg.z_far
+    )
+    grid_rays = r.reshape(height, width, 8)
+    flat = grid_rays.reshape(-1, 8)
+    kp, kf, ku = jax.random.split(key, 3)
+
+    # --- pass 1: strided sigma-only probe ---
+    probe_rays = grid_rays[::s, ::s].reshape(-1, 8)  # (Rp, 8)
+    zp = S.sample_coarse(kp, probe_rays, n_probe, lindisp)  # (Rp, Kp)
+    fs_sig = fs._replace(w2=fs.w2[:, :1], b2=fs.b2[:1])
+    seg_p = Hp // rows_per_seg
+    rwp = rows_per_seg * Wp
+    pbody = _probe_weights_body(
+        fs_sig, cfg, Wp, n_probe, rows_per_seg, band, hard_alpha_cap
+    )
+    w_probe = jax.lax.map(
+        pbody, (probe_rays.reshape(seg_p, rwp, 8), zp.reshape(seg_p, rwp, n_probe))
+    ).reshape(Hp, Wp, n_probe)
+
+    # --- importance resampling at full resolution: each pixel reads its
+    # probe pixel's histogram (nearest; the safety samples cover drift) ---
+    w_full = jnp.repeat(jnp.repeat(w_probe, s, 0), s, 1).reshape(-1, n_probe)
+    z_full = jnp.repeat(
+        jnp.repeat(zp.reshape(Hp, Wp, n_probe), s, 0), s, 1
+    ).reshape(-1, n_probe)
+    z_fine = S.sample_coarse_from_dist(kf, flat, w_full, z_full, n_fine, lindisp)
+    if n_uniform > 0:
+        z_u = S.sample_coarse(ku, flat, n_uniform, lindisp)
+        z_fine = jnp.concatenate([z_fine, z_u], -1)
+    z = jnp.sort(z_fine, -1)  # (R, Kf) — compositing needs sorted depths
+    Kf = z.shape[-1]
+
+    # --- pass 2: fused full-res render on the resampled depths ---
+    seg_n = height // rows_per_seg
+    rw = rows_per_seg * width
+    body = _fused_rows_body(
+        fs, cfg, width, Kf, rows_per_seg, band, want_rgb, hard_alpha_cap
+    )
+    depth, dino, rgb = jax.lax.map(
+        body, (flat.reshape(seg_n, rw, 8), z.reshape(seg_n, rw, Kf))
+    )
+    depth = depth.reshape(height, width)
+    dino = dino.reshape(height, width, -1)
+    rgb = rgb.reshape(height, width, 3) if want_rgb else None
+    return depth, dino, rgb
+
+
+def _probe_weights_body(
+    fs_sigma: FastFieldState,
+    cfg: FieldConfig,
+    width: int,
+    n_probe: int,
+    rows_per_seg: int,
+    band: int,
+    hard_alpha_cap: bool,
+):
+    """Per-segment sigma-only probe: (rays (rw, 8), z (rw, Kp)) ->
+    compositing weights (rw, Kp). `fs_sigma` must carry the sigma-sliced
+    head (w2 (d_hidden, 1)) so `eval_points` skips the dino columns."""
+    from scenedino_tpu.core import compositing as C
+
+    K = n_probe
+    _, eval_points = _make_point_eval(fs_sigma, cfg, band)
+
+    def body(args):
+        rays_s, z_s = args  # (rw, 8), (rw, K)
+        pts = rays_s[:, None, :3] + z_s[..., None] * rays_s[:, None, 3:6]
+        pts = (
+            pts.reshape(rows_per_seg, width, K, 3)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 3)
+        )
+        out = eval_points(pts)  # (P_seg, 1) pre-softplus sigma
+        sigma = out[:, 0].reshape(rows_per_seg, K, width)
+        sigma = jax.nn.softplus(sigma.transpose(0, 2, 1).reshape(-1, K))
+        return C.composite_rays(sigma, z_s, hard_alpha_cap).weights
+
+    return body
+
+
 def _make_point_eval(fs: FastFieldState, cfg: FieldConfig, band: int):
     """Shared per-point pipeline of the fused paths: returns
     (project(pts, rot, trans, K), eval_points(pts (P, 3) -> (P, d_out))).

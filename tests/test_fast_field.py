@@ -300,6 +300,70 @@ def test_ssc_cli_query_fn_fast_matches_slow():
     assert same > 0.95, same
 
 
+def test_render_novel_view_probe_close_to_dense():
+    """Two-pass probe-guided render (empty-space skipping serving mode)
+    approximates the dense single-pass render with ~40% fewer samples:
+    depth/dino/rgb track the 32-sample reference on a smooth field, and
+    all outputs stay finite and in range."""
+    from scenedino_tpu.ops.fast_field import (
+        render_novel_view_fused,
+        render_novel_view_probe,
+    )
+
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3)
+    )
+    params = field.init({"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup)
+    state = field.apply(params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+
+    c, s = np.cos(0.05), np.sin(0.05)
+    rot = jnp.asarray(np.array([[c, 0, s, 0.2], [0, 1, 0, -0.1], [-s, 0, c, 0.1], [0, 0, 0, 1]], np.float32))
+    rkey = jax.random.PRNGKey(7)
+
+    with jax.default_matmul_precision("highest"):
+        fs = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        d_ref, f_ref, r_ref = render_novel_view_fused(
+            fs, cfg, rot, projs[0, 0], H, W, rkey, n_coarse=32, band=8, rows_per_seg=2
+        )
+        d_p, f_p, r_p = render_novel_view_probe(
+            fs, cfg, rot, projs[0, 0], H, W, rkey,
+            n_probe=16, n_fine=12, n_uniform=4, probe_stride=2,
+            band=8, rows_per_seg=2,
+        )
+
+    d_p = np.asarray(d_p)
+    assert np.isfinite(d_p).all()
+    assert (d_p >= cfg.z_near - 1e-3).all() and (d_p <= cfg.z_far + 1e-3).all()
+    assert np.isfinite(np.asarray(f_p)).all() and np.isfinite(np.asarray(r_p)).all()
+
+    # tracks the dense render: median relative depth error well under the
+    # inter-sample spacing of the 32-sample reference
+    rel = np.abs(d_p - np.asarray(d_ref)) / np.asarray(d_ref)
+    assert np.median(rel) < 0.05, np.median(rel)
+    cos = np.sum(np.asarray(f_p) * np.asarray(f_ref), -1) / (
+        np.linalg.norm(np.asarray(f_p), axis=-1)
+        * np.linalg.norm(np.asarray(f_ref), axis=-1)
+        + 1e-9
+    )
+    assert np.mean(cos) > 0.98, np.mean(cos)
+    assert np.mean(np.abs(np.asarray(r_p) - np.asarray(r_ref))) < 0.05
+
+    # want_rgb=False branch
+    with jax.default_matmul_precision("highest"):
+        d2, f2, r2 = render_novel_view_probe(
+            fs, cfg, rot, projs[0, 0], H, W, rkey, probe_stride=2,
+            band=8, rows_per_seg=2, want_rgb=False,
+        )
+    assert r2 is None and np.isfinite(np.asarray(d2)).all()
+
+
 def test_render_novel_view_fused_sharded_exact():
     """Sharded fused render over the 8-device CPU mesh is bit-identical
     to the single-device fused renderer (global ray/strata generation,

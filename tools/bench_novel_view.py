@@ -62,6 +62,25 @@ def main():
         dt = device_time(stepf, fs, iters=8)
         print(f"fused rows={rows} band={band} rgb={rgb}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
 
+    # two-pass probe-guided serving mode: (n_probe, n_fine, n_uniform, stride)
+    from scenedino_tpu.ops.fast_field import render_novel_view_probe
+
+    pcombos = eval(os.environ.get("PROBE_COMBOS", "[(16, 12, 4, 2), (8, 12, 4, 2), (16, 8, 4, 2), (16, 12, 4, 4)]"))
+    for np_, nf, nu, st in pcombos:
+        def stepp(fs, salt, _np=np_, _nf=nf, _nu=nu, _st=st):
+            g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
+            return render_novel_view_probe(
+                g, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0),
+                n_probe=_np, n_fine=_nf, n_uniform=_nu, probe_stride=_st,
+            )
+
+        dt = device_time(stepp, fs, iters=8)
+        pts = np_ / st**2 + nf + nu
+        print(
+            f"probe np={np_} nf={nf} nu={nu} stride={st} ({pts:.0f} pts/px vs {K}): "
+            f"{dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
