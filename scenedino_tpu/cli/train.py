@@ -159,7 +159,15 @@ def run_stage1(config, sweep_trial=None):
     )
 
     mesh = make_mesh()
-    step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
+    sched = rconf.get("sched") or []
+    if sched:
+        from scenedino_tpu.training.trainer import ScheduledTrainStep
+
+        step = ScheduledTrainStep(
+            lambda rc: make_train_step(field, tcfg, rc, lcfg, tx), rcfg, sched
+        )
+    else:
+        step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
     batch_size = config.get("batch_size", 4)
 
     from scenedino_tpu.utils.prefetch import device_prefetch

@@ -235,7 +235,14 @@ def fit(
                     jax.profiler.start_trace(os.path.join(cfg.output_path, "profile"))
                     profiling = True
                 key, sub = jax.random.split(key)
-                state, losses = train_step(state, batch, sub)
+                # sample-count schedule support: a ScheduledTrainStep
+                # resolves the jitted step for this iteration (static
+                # shapes -> one compiled program per (n_coarse, n_fine))
+                if hasattr(train_step, "for_iteration"):
+                    step_fn = train_step.for_iteration(it)
+                else:
+                    step_fn = train_step
+                state, losses = step_fn(state, batch, sub)
                 it += 1
                 if profiling and cfg.profile_stop is not None and it >= cfg.profile_stop:
                     jax.tree_util.tree_map(

@@ -16,6 +16,7 @@ Differences by design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -495,6 +496,57 @@ def make_train_step(field, cfg: TrainConfig, rcfg: RenderConfig, lcfg: Reconstru
         )
 
     return step
+
+
+class ScheduledTrainStep:
+    """NeRF sample-count schedule (reference `nerf.py:600-620`; config
+    `renderer.sched: [milestone_iters, n_coarse_values, n_fine_values]` —
+    shipped EMPTY (`sched: []`) in every published config, kept for API
+    parity with pixelNeRF-style ramps).
+
+    Under jit the sample counts are static shapes, so they cannot change
+    inside one compiled program; the TPU-native design swaps between
+    per-config jitted steps at the host level. Each distinct
+    (n_coarse, n_fine) pair traces + compiles exactly once (cached here);
+    a handful of recompiles over a whole run. `fit` detects this object
+    via `for_iteration` and re-resolves the step every iteration.
+    """
+
+    def __init__(self, make_step, rcfg: RenderConfig, sched):
+        self._make = make_step  # rcfg -> (state, batch, key) -> (state, losses)
+        self._rcfg = rcfg
+        if sched:
+            ms, ncs, nfs = (list(sched[0]), list(sched[1]), list(sched[2]))
+        else:  # pragma: no cover - callers gate on non-empty sched
+            ms, ncs, nfs = [], [], []
+        assert len(ms) == len(ncs) == len(nfs), "sched rows must align"
+        assert ms == sorted(ms), "sched milestones must be increasing"
+        self._sched = list(zip(ms, ncs, nfs))
+        self._cache = {}
+        self.current = (rcfg.n_coarse, rcfg.n_fine)
+
+    def config_at(self, it: int):
+        """(n_coarse, n_fine) in effect for iteration `it` (0-based count of
+        completed steps — milestone m applies from the m-th step on,
+        matching `iter_idx >= sched[0][i]` in the reference)."""
+        nc, nf = self._rcfg.n_coarse, self._rcfg.n_fine
+        for m, c, f in self._sched:
+            if it >= m:
+                nc, nf = c, f
+        return nc, nf
+
+    def for_iteration(self, it: int):
+        key = self.config_at(it)
+        if key not in self._cache:
+            rc = dataclasses.replace(self._rcfg, n_coarse=key[0], n_fine=key[1])
+            self._cache[key] = jax.jit(self._make(rc))
+        if key != self.current:
+            logging.getLogger("training").info(
+                "NeRF sampling resolution changed on schedule ==> c %d f %d",
+                key[0], key[1],
+            )
+            self.current = key
+        return self._cache[key]
 
 
 def _artifact_tx(cfg: TrainConfig):

@@ -278,3 +278,72 @@ def test_dino_upscaled_gt_sampling():
     state2, losses = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(losses["rec_loss"])
     assert "loss_dino_coarse" in losses
+
+
+def test_scheduled_train_step_switches_sample_counts():
+    """ScheduledTrainStep (renderer.sched parity, nerf.py:600-620): the
+    host-level schedule swaps jitted steps at milestones, each config
+    compiles once, and both steps train with finite losses."""
+    from scenedino_tpu.training.trainer import ScheduledTrainStep
+
+    field = build_field()
+    tcfg = TrainConfig(
+        ray_batch_size=64, patch_size=PATCH, compensate_artifacts=False,
+        grid_shift_augmentation=False,
+    )
+    rcfg = RenderConfig(n_coarse=8)
+    lcfg = ReconstructionLossConfig(lambda_dino_edge_aware_smoothness=0.0)
+    batch = build_batch(B=1)
+    params = init_all(field, batch, tcfg)
+    state, tx = init_train_state(field, params, tcfg)
+
+    sched = [[2, 4], [4, 16], [0, 0]]  # iters 0-1: 8; 2-3: 4; 4+: 16 coarse
+    sts = ScheduledTrainStep(
+        lambda rc: make_train_step(field, tcfg, rc, lcfg, tx), rcfg, sched
+    )
+    assert sts.config_at(0) == (8, 0)
+    assert sts.config_at(1) == (8, 0)
+    assert sts.config_at(2) == (4, 0)
+    assert sts.config_at(3) == (4, 0)
+    assert sts.config_at(4) == (16, 0)
+    assert sts.config_at(1000) == (16, 0)
+
+    key = jax.random.PRNGKey(0)
+    for it in range(5):
+        key, sub = jax.random.split(key)
+        step_fn = sts.for_iteration(it)
+        state, losses = step_fn(state, batch, sub)
+        assert np.isfinite(float(losses["rec_loss"])), it
+    assert sts.current == (16, 0)
+    # the two revisited configs were each compiled exactly once
+    assert set(sts._cache.keys()) == {(8, 0), (4, 0), (16, 0)}
+    # re-resolving a past iteration returns the SAME cached callable
+    assert sts.for_iteration(0) is sts._cache[(8, 0)]
+
+
+def test_fit_with_scheduled_step(tmp_path):
+    """fit() detects a ScheduledTrainStep and trains through a milestone."""
+    from scenedino_tpu.training.loop import LoopConfig, fit
+    from scenedino_tpu.training.trainer import ScheduledTrainStep
+
+    field = build_field()
+    tcfg = TrainConfig(
+        ray_batch_size=64, patch_size=PATCH, compensate_artifacts=False,
+        grid_shift_augmentation=False,
+    )
+    rcfg = RenderConfig(n_coarse=8)
+    lcfg = ReconstructionLossConfig(lambda_dino_edge_aware_smoothness=0.0)
+    batch = build_batch(B=1)
+    params = init_all(field, batch, tcfg)
+    state, tx = init_train_state(field, params, tcfg)
+    sts = ScheduledTrainStep(
+        lambda rc: make_train_step(field, tcfg, rc, lcfg, tx), rcfg,
+        [[2], [4], [0]],
+    )
+    cfg = LoopConfig(
+        output_path=str(tmp_path), num_epochs=10, checkpoint_every=100,
+        log_every=1, stop_iteration=4,
+    )
+    out = fit(state, sts, lambda: iter([batch] * 4), cfg, jax.random.PRNGKey(0))
+    assert int(np.asarray(out.step)) == 4
+    assert sts.current == (4, 0)
