@@ -103,6 +103,23 @@ def main():
 
     dt_render_only = device_time(render_only_step, fs_t, iters=8)
 
+    # probe serving mode: two-pass empty-space skipping (render_novel_view_probe
+    # — DIFFERENT sample placement than the reference's 32 uniform strata:
+    # 16-probe sigma pass at 1/2 res + 12 importance + 4 uniform samples)
+    from scenedino_tpu.ops.fast_field import render_novel_view_probe
+
+    def probe_step(params, imgs, projs, poses, salt):
+        im = imgs + (salt * 1e-30).astype(imgs.dtype)
+        state = field.apply(
+            params, im, projs, poses, ids_encoder=(0,), method=SceneField.encode
+        )
+        fs = build_fast_state(params, state, cfg)
+        return render_novel_view_probe(
+            fs, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0)
+        )
+
+    dt_probe = device_time(probe_step, params, imgs, projs, poses, iters=8)
+
     def trajectory_step(params, imgs, projs, poses, salt):
         im = imgs + (salt * 1e-30).astype(imgs.dtype)
         state = field.apply(
@@ -204,6 +221,16 @@ def main():
                         "rays_per_sec": round(rays / dt_render_only, 1),
                         "ms_per_image": round(dt_render_only * 1e3, 2),
                         "note": "prefolded state; encode-once/render-many serving",
+                    },
+                    "novel_view_probe_serving": {
+                        "rays_per_sec": round(rays / dt_probe, 1),
+                        "imgs_per_sec": round(1.0 / dt_probe, 3),
+                        "ms_per_image": round(dt_probe * 1e3, 2),
+                        "note": (
+                            "encode + two-pass probe-guided render (empty-space "
+                            "skipping; 16 strided-probe + 12 importance + 4 "
+                            "uniform samples/ray vs the exact path's 32 uniform)"
+                        ),
                     },
                     "novel_view_trajectory_4": {
                         "rays_per_sec": round(4 * rays / dt_traj, 1),

@@ -28,6 +28,25 @@ def sample_coarse(key, rays, n_samples, lindisp=True):
     return near * (1.0 - z_steps) + far * z_steps
 
 
+def _searchsorted_right(cdf, u):
+    """Per-row `searchsorted(cdf[b], u[b], side="right")` = count of cdf
+    entries <= u. The vmap(searchsorted) binary-search lowering is a
+    log(K)-step scan of batched gathers — measured ~100 ms at full-frame
+    ray counts on v5e — while for the small bin counts here (<= 33) a
+    compare-and-sum is pure VPU work (exact same integer result)."""
+    return jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
+
+
+def _take_per_row(table, ids):
+    """Per-row gather `table[b, ids[b, n]]` as a one-hot contraction: the
+    batched-gather lowering underperforms on TPU; reading one of <= 33
+    fp32 values via one-hot matmul is exact (one 1.0 multiply, rest 0)."""
+    oh = jax.nn.one_hot(ids, table.shape[-1], dtype=table.dtype)
+    return jnp.einsum("bnk,bk->bn", oh, table)
+
+
 def sample_fine(key, rays, weights, n_samples, n_coarse, lindisp=True, eps=1e-5):
     """Importance samples from coarse weights via inverse CDF.
 
@@ -43,7 +62,7 @@ def sample_fine(key, rays, weights, n_samples, n_coarse, lindisp=True, eps=1e-5)
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], -1)  # (B, Kc+1)
 
     u = jax.random.uniform(k_u, (B, n_samples), dtype=jnp.float32)
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    inds = _searchsorted_right(cdf, u)
     inds = jnp.maximum(inds.astype(jnp.float32) - 1.0, 0.0)
     z_steps = (inds + jax.random.uniform(k_j, (B, n_samples))) / n_coarse
 
@@ -68,15 +87,15 @@ def sample_coarse_from_dist(key, rays, weights, z_samp, n_samples, lindisp=True,
     cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], -1)
 
     u = jax.random.uniform(k_u, (B, n_samples), dtype=jnp.float32)
-    ids = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u) - 1
+    ids = _searchsorted_right(cdf, u) - 1
     ids = jnp.clip(ids, 0, num_bins - 1)
     t = jax.random.uniform(k_t, (B, n_samples), dtype=jnp.float32)
 
     zs = 1.0 / z_samp if lindisp else z_samp
     centers = 0.5 * (zs[:, 1:] + zs[:, :-1])
     borders = jnp.concatenate([zs[:, :1], centers, zs[:, -1:]], -1)  # (B, Kbins+1)
-    left = jnp.take_along_axis(borders, ids, axis=-1)
-    right = jnp.take_along_axis(borders, ids + 1, axis=-1)
+    left = _take_per_row(borders, ids)
+    right = _take_per_row(borders, ids + 1)
     z_new = left * (1.0 - t) + right * t
     if lindisp:
         z_new = 1.0 / z_new

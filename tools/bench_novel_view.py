@@ -51,16 +51,56 @@ def main():
 
     import os
     combos = eval(os.environ.get("FUSED_COMBOS", "[(4, 64, True), (8, 64, True), (2, 64, True), (4, 64, False)]"))
-    for rows, band, rgb in combos:
-        def stepf(fs, salt, _r=rows, _band=band, _rgb=rgb):
+    for combo in combos:
+        rows, band, rgb = combo[:3]
+        k_eff = combo[3] if len(combo) > 3 else K
+        def stepf(fs, salt, _r=rows, _band=band, _rgb=rgb, _k=k_eff):
             g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
             return render_novel_view_fused(
                 g, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0),
-                n_coarse=K, band=_band, want_rgb=_rgb, rows_per_seg=_r,
+                n_coarse=_k, band=_band, want_rgb=_rgb, rows_per_seg=_r,
             )
 
         dt = device_time(stepf, fs, iters=8)
-        print(f"fused rows={rows} band={band} rgb={rgb}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
+        print(f"fused rows={rows} band={band} rgb={rgb} K={k_eff}: {dt*1e3:.2f} ms/render, {H*W/dt/1e6:.2f} M rays/s", flush=True)
+
+    if os.environ.get("PROBE_PARTS"):
+        # isolate the probe's pass 1 + resampling (everything but pass 2)
+        from scenedino_tpu.core import rays as rays_mod
+        from scenedino_tpu.core import sampling as S
+        from scenedino_tpu.ops.fast_field import _probe_weights_body
+
+        n_probe, n_fine, n_uniform, st = 16, 12, 4, 2
+        rows_per_seg = 4
+        Hp, Wp = H // st, W // st
+
+        def pass1(fs, salt, _np=n_probe, _st=st):
+            g = fs._replace(folded_grid=fs.folded_grid + (salt * 1e-30).astype(fs.folded_grid.dtype))
+            r, _ = rays_mod.rays_from_k(
+                novel_pose[None], projs[0, 0][None], W, H, cfg.z_near, cfg.z_far
+            )
+            grid_rays = r.reshape(H, W, 8)
+            flat = grid_rays.reshape(-1, 8)
+            kp, kf, ku = jax.random.split(jax.random.PRNGKey(0), 3)
+            probe_rays = grid_rays[::_st, ::_st].reshape(-1, 8)
+            zp = S.sample_coarse(kp, probe_rays, _np, True)
+            fs_sig = g._replace(w2=g.w2[:, :1], b2=g.b2[:1])
+            seg_p = Hp // rows_per_seg
+            rwp = rows_per_seg * Wp
+            pbody = _probe_weights_body(fs_sig, cfg, Wp, _np, rows_per_seg, 64, True)
+            w_probe = jax.lax.map(
+                pbody, (probe_rays.reshape(seg_p, rwp, 8), zp.reshape(seg_p, rwp, _np))
+            ).reshape(Hp, Wp, _np)
+            w_full = jnp.repeat(jnp.repeat(w_probe, _st, 0), _st, 1).reshape(-1, _np)
+            z_full = jnp.repeat(
+                jnp.repeat(zp.reshape(Hp, Wp, _np), _st, 0), _st, 1
+            ).reshape(-1, _np)
+            z_fine = S.sample_coarse_from_dist(kf, flat, w_full, z_full, n_fine, True)
+            z_u = S.sample_coarse(ku, flat, n_uniform, True)
+            return jnp.sort(jnp.concatenate([z_fine, z_u], -1), -1)
+
+        dt = device_time(pass1, fs, iters=8)
+        print(f"probe pass1+resample only: {dt*1e3:.2f} ms", flush=True)
 
     # two-pass probe-guided serving mode: (n_probe, n_fine, n_uniform, stride)
     from scenedino_tpu.ops.fast_field import render_novel_view_probe
