@@ -109,11 +109,61 @@ def interpolate_pos_embed(pos_embed, grid_orig, grid_new, num_prefix_tokens=1):
     return jnp.concatenate([prefix, patch], axis=1)
 
 
+def _divisor_block(n: int, candidates=(1024, 512, 256, 128)) -> int:
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return n
+
+
+def _flash_mhsa(q, k, v):
+    """Pallas TPU flash attention on (B, N, H, D) bf16 tensors, padded to a
+    multiple of 512 tokens with segment-id masking (exact: pad queries only
+    attend pad keys and are sliced off).
+
+    Why: at ViT-B/8 @192x640 (N=1921) the XLA attention materializes
+    ~177 MB of N^2 logits per block — bandwidth-bound at 0.52 ms/block on
+    v5e; the flash kernel with these block sizes runs 0.10 ms/block
+    (tools/bench_vit_attention.py), ~5 ms off every encode. Differentiable
+    (the op ships a custom VJP with its own dkv/dq kernels)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, N, H, D = q.shape
+    NP = -(-N // 512) * 512
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if NP != N:
+        pad = ((0, 0), (0, 0), (0, NP - N), (0, 0))
+        qt, kt, vt = jnp.pad(qt, pad), jnp.pad(kt, pad), jnp.pad(vt, pad)
+    ids = (jnp.arange(NP) < N).astype(jnp.float32)[None]
+    ids = jnp.broadcast_to(ids, (B, NP))
+    bq = _divisor_block(NP)
+    bkm = _divisor_block(NP, (2048, 1024, 512, 256, 128))
+    bk = min(bq, bkm)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkm, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
+    )
+    out = flash_attention(
+        qt, kt, vt, segment_ids=SegmentIds(q=ids, kv=ids),
+        sm_scale=float(D) ** -0.5, block_sizes=bs,
+    )
+    return out[:, :, :N].transpose(0, 2, 1, 3)
+
+
 class Attention(nn.Module):
     """timm-style MHSA with a qkv projection; optionally returns keys."""
 
     num_heads: int
     dtype: Any = None
+    # None = auto (flash on TPU for bf16 compute and N >= 512); bool forces
+    use_flash: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, return_keys=False):
@@ -123,8 +173,18 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)  # (B, N, 3C)
         qkv = qkv.reshape(B, N, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        flash = self.use_flash
+        if flash is None:
+            flash = (
+                self.dtype == jnp.bfloat16
+                and N >= 512
+                and jax.default_backend() == "tpu"
+            )
         # timm scales q by head_dim**-0.5
-        out = jax.nn.dot_product_attention(q, k, v)
+        if flash:
+            out = _flash_mhsa(q, k, v)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(B, N, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         if return_keys:

@@ -840,7 +840,7 @@ def fast_query_fused(
     cfg: FieldConfig,
     xyz: jnp.ndarray,  # (P, 3) world points, single encode view
     segments: int = 64,
-    band: int = 32,
+    band: int = 128,
     seg_fn=None,
 ):
     """`fast_query(only_density=True)` with the whole per-point pipeline —
@@ -858,6 +858,11 @@ def fast_query_fused(
     (e.g. SceneField.segment_features under apply + argmax). Returns
     (sigma, seg_or_dino): seg labels when seg_fn is given, else the
     (P, dino) features (both exact vs the unfused path).
+
+    band=128 default from the v5e sweep (tools/bench_ssc_query.py) on the
+    real SSCBench grid geometry at segments=256: band 32/64/128 ->
+    55.1/47.6/46.7 ms for the 2M-voxel query (band 32 leaves 33% of
+    segments on the slow full-table fallback, 128 only 4%).
     """
     if fs.grid_scale is not None:
         raise NotImplementedError("fused path is exact-only (no int8 grid)")

@@ -65,6 +65,47 @@ def main():
     dt_f = device_time(flash, qp, kp, vp, iters=16)
     print(f"pallas flash (padded {NP}): {dt_f*1e3:7.2f} ms", flush=True)
 
+    # manual attention variants: shrink the materialized N^2 buffers
+    scale = float(D) ** -0.5
+
+    def manual(q, k, v, salt, probs_bf16=False, logits_bf16=False):
+        qq = q + (salt * 1e-30).astype(q.dtype)
+        pt = jnp.bfloat16 if logits_bf16 else jnp.float32
+        logits = (
+            jnp.einsum("bhnd,bhmd->bhnm", qq, k, preferred_element_type=pt) * scale
+        )
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if probs_bf16:
+            probs = probs.astype(jnp.bfloat16)
+        return jnp.einsum(
+            "bhnm,bhmd->bhnd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+
+    for pb, lb in ((False, False), (True, False), (True, True)):
+        dt_m = device_time(partial(manual, probs_bf16=pb, logits_bf16=lb), q, k, v, iters=16)
+        print(f"manual probs_bf16={pb} logits_bf16={lb}: {dt_m*1e3:7.2f} ms", flush=True)
+
+    # tuned flash block sizes
+    for bq, bkm, bk in ((2048, 2048, 512), (1024, 2048, 1024), (512, 1024, 512)):
+        bs = BlockSizes(
+            block_q=bq, block_k_major=bkm, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bkm, block_k_dkv=bk,
+            block_q_dkv=bq, block_k_major_dq=bkm, block_k_dq=bk, block_q_dq=bq,
+        )
+
+        def flash_t(qp, kp, vp, salt, _bs=bs):
+            qq = qp + (salt * 1e-30).astype(qp.dtype)
+            return flash_attention(
+                qq, kp, vp, segment_ids=seg, sm_scale=scale, block_sizes=_bs
+            )[:, :, :N]
+
+        try:
+            dt_ft = device_time(flash_t, qp, kp, vp, iters=16)
+            print(f"flash bq={bq} bkm={bkm} bk={bk}: {dt_ft*1e3:7.2f} ms", flush=True)
+        except Exception as e:
+            print(f"flash bq={bq} bkm={bkm} bk={bk}: FAIL {str(e)[:100]}", flush=True)
+
     # exactness vs reference (fp32 upcast both ways)
     ref = np.asarray(
         jax.nn.dot_product_attention(
