@@ -44,33 +44,68 @@ def main():
     config = load_run_config(args.config)
 
     dataset = make_test_dataset(config["dataset"])
-    field = build_model(variant=config.get("variant", "dino"))
+    H, W = config["dataset"].get("image_size", (192, 640))
+    if "model" in config:
+        # rebuild the exact trained model from the saved run config — the
+        # reference re-composes training_config.yaml at inference
+        # (demo_utils/utils.py:39-42)
+        from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
+        from scenedino_tpu.models.factory import make_model
+
+        head = SemanticHead(cfg=SemanticHeadConfig.from_dict(config.get("downstream", {})))
+        field = make_model(config["model"], downstream=head)
+    else:
+        field = build_model(image_size=(H, W), variant=config.get("variant", "dino"))
+        head = field.downstream
 
     key = jax.random.PRNGKey(0)
-    H, W = config["dataset"].get("image_size", (192, 640))
     dummy = (
         jnp.zeros((1, 1, 3, H, W)),
         jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
         jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
     )
     variables = field.warmup_init(key, *dummy)
-    if args.ckpt.endswith(".pt"):
+    import os
+
+    from scenedino_tpu.training.loop import find_latest_checkpoint
+
+    ckpt = args.ckpt
+    run_dir = ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
+    if not ckpt.endswith(".pt") and os.path.isdir(ckpt):
+        ckpt = find_latest_checkpoint(ckpt) or ckpt
+    if ckpt.endswith(".pt"):
         import torch
 
         sd = torch.load(args.ckpt, map_location="cpu")["model"]
         conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
         variables = {"params": conv["params"], **conv.get("state", {})}
+        head_vars = {
+            "params": variables["params"]["downstream"],
+            "state": variables.get("state", {}).get("downstream", {}),
+        }
     else:
-        variables = load_checkpoint(args.ckpt, target=variables)
-
-    head = field.downstream
-    head_vars = {
-        "params": variables["params"]["downstream"],
-        "state": variables.get("state", {}).get("downstream", {}),
-    }
+        restored = load_checkpoint(ckpt)
+        if "head_variables" in restored:
+            # a stage-2 run checkpoint (DownstreamTrainState): head weights
+            # from the training state, frozen field from the field_params
+            # snapshot run_stage2 writes next to the checkpoints
+            head_vars = {
+                "params": restored["head_variables"]["params"],
+                "state": restored["head_variables"].get("state", {}),
+            }
+            field_path = os.path.join(os.path.abspath(run_dir), "field_params")
+            if os.path.isdir(field_path):
+                restored_field = load_checkpoint(field_path)
+                variables = {**variables, "params": restored_field["params"]}
+        else:
+            variables = load_checkpoint(ckpt, target=variables)
+            head_vars = {
+                "params": variables["params"]["downstream"],
+                "state": variables.get("state", {}).get("downstream", {}),
+            }
     evaluator = Seg2DEvaluator(
         field=field, head=head, field_params=variables, head_variables=head_vars,
-        image_size=(H, W),
+        image_size=(H, W), n_classes=max(head.cfg.n_classes, head.cfg.gt_classes),
     )
     results = evaluator.run(dataset, max_frames=args.max_frames)
     out = {}

@@ -94,7 +94,7 @@ def run_stage1(config, sweep_trial=None):
     from scenedino_tpu.losses.reconstruction import ReconstructionLossConfig
     from scenedino_tpu.models.factory import make_model
     from scenedino_tpu.models.field import SceneField
-    from scenedino_tpu.parallel.mesh import make_mesh, shard_batch
+    from scenedino_tpu.parallel.mesh import make_data_mesh, shard_batch
     from scenedino_tpu.renderer.nerf import RenderConfig
     from scenedino_tpu.training.loop import LoopConfig, fit
     from scenedino_tpu.training.trainer import (
@@ -158,7 +158,8 @@ def run_stage1(config, sweep_trial=None):
         artifact_shape=(gt_dim, H // gt_patch, W // gt_patch) if tcfg.compensate_artifacts else None,
     )
 
-    mesh = make_mesh()
+    batch_size = config.get("batch_size", 4)
+    mesh = make_data_mesh(batch_size)
     sched = rconf.get("sched") or []
     if sched:
         from scenedino_tpu.training.trainer import ScheduledTrainStep
@@ -168,7 +169,6 @@ def run_stage1(config, sweep_trial=None):
         )
     else:
         step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
-    batch_size = config.get("batch_size", 4)
 
     from scenedino_tpu.utils.prefetch import device_prefetch
 
@@ -251,17 +251,7 @@ def run_stage2(config, sweep_trial=None):
     field = make_model(config.get("model", {}))
 
     dconf = config.get("downstream", {})
-    head_cfg = SemanticHeadConfig(
-        n_classes=dconf.get("n_classes", 19),
-        gt_classes=dconf.get("gt_classes", 19),
-        input_dim=dconf.get("input_dim", 768),
-        code_dim=dconf.get("code_dim", 64),
-        buffer_size=dconf.get("buffer_size", 256),
-        patch_sample_size=dconf.get("patch_sample_size", 576),
-        knn_neighbors=dconf.get("knn_neighbors", 7),
-        mode=dconf.get("mode", "3d"),
-        mlp_head=dconf.get("mlp_head", False),
-    )
+    head_cfg = SemanticHeadConfig.from_dict(dconf)
     head = SemanticHead(cfg=head_cfg)
 
     sample = train_ds[0]
@@ -318,7 +308,20 @@ def run_stage2(config, sweep_trial=None):
     step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx)
     from scenedino_tpu.utils.jax_setup import save_run_config
 
-    save_run_config(config.get("output", {}).get("path", "out/semantic"), config)
+    out_path = config.get("output", {}).get("path", "out/semantic")
+    save_run_config(out_path, config)
+    # Persist the frozen field next to the head checkpoints so evaluation
+    # can rebuild the FULL model from this run dir alone — the reference's
+    # torch checkpoints hold the whole model incl. the frozen field
+    # (base_trainer.py:272-293 checkpoints the complete BTSDownstreamWrapper).
+    import os as _os
+
+    from scenedino_tpu.utils.checkpoint import save_checkpoint
+
+    save_checkpoint(
+        _os.path.join(_os.path.abspath(out_path), "field_params"),
+        jax.device_get(field_params),
+    )
     loop_cfg = LoopConfig(
         output_path=config.get("output", {}).get("path", "out/semantic"),
         num_epochs=config.get("training", {}).get("num_epochs", 10),

@@ -438,6 +438,15 @@ class KITTI360Dataset:
     def __len__(self):
         return self.length
 
+    def get_points(self, pose: np.ndarray | None = None) -> np.ndarray:
+        """Occupancy probe grid (old_kitti_360.py:get_points:236-273):
+        (256, 64, 256, 3) camera-frame points, inclination-adjusted. The
+        reference ignores its `pose` argument too (points are camera-frame;
+        callers transform them with the current pose themselves)."""
+        from scenedino_tpu.core.point_sampling import kitti_occupancy_grid_points
+
+        return kitti_occupancy_grid_points()
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         seq, id, is_right = self._datapoints[index]
         seq_len = len(self._img_ids[seq])

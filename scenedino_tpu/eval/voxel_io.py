@@ -72,3 +72,41 @@ def save_as_voxel_ply(path: str, occupied, origin=(0.0, 0.0, 0.0), voxel_size=0.
         for face in faces:
             f.write(struct.pack("<Biii", 3, face[0], face[1], face[2]))
     return len(verts), len(faces)
+
+
+# --------------------------------------------------------------------------
+# SemanticKITTI bit-packed occupancy .bin format
+# (common/io/voxel_grids/semantic_kitti.py:7-33 + __init__.py:save_voxel_grid)
+
+def unpack_voxel_bits(compressed: np.ndarray) -> np.ndarray:
+    """Bit-packed uint8 array -> flat 0/1 uint8 voxel array, MSB first
+    (semantic_kitti.py:unpack:7-20)."""
+    compressed = np.asarray(compressed, np.uint8)
+    out = np.zeros(compressed.shape[0] * 8, dtype=np.uint8)
+    for bit in range(8):
+        out[bit::8] = (compressed >> (7 - bit)) & 1
+    return out
+
+
+def pack_voxel_bits(uncompressed: np.ndarray) -> np.ndarray:
+    """Flat boolean/0-1 array (length divisible by 8) -> bit-packed array,
+    MSB first (semantic_kitti.py:pack:23-29)."""
+    u = np.asarray(uncompressed).reshape(-1, 8)
+    weights = 1 << np.arange(7, -1, -1)
+    return u.dot(weights)
+
+
+def save_semantic_kitti(voxel_grid: np.ndarray, path: str) -> None:
+    """Save an occupancy voxel grid in the SemanticKITTI compressed .bin
+    layout: flip all three axes, flatten, bit-pack, write uint8
+    (semantic_kitti.py:save_semantic_kitti:32-33)."""
+    flat = np.flip(np.asarray(voxel_grid), (0, 1, 2)).reshape(-1)
+    pack_voxel_bits(flat).astype(np.uint8).tofile(path)
+
+
+def save_voxel_grid(voxel_grid: np.ndarray, path: str, format: str = "semantic_kitti") -> None:
+    """Format-dispatching voxel-grid saver (voxel_grids/__init__.py:12-21)."""
+    if format == "semantic_kitti":
+        save_semantic_kitti(voxel_grid, path)
+    else:
+        raise NotImplementedError(f"Voxel format {format!r} not implemented.")

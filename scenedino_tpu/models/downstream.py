@@ -217,6 +217,13 @@ class SemanticHeadConfig:
     mlp_head: bool = False
     apply_crf: bool = False
 
+    @classmethod
+    def from_dict(cls, dconf: dict) -> "SemanticHeadConfig":
+        """Build from a `downstream:` config block (make_downstream_head
+        parity, downstream_head/__init__.py:4)."""
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in dconf.items() if k in known})
+
 
 class SemanticHead(nn.Module):
     """Umbrella downstream head (semantic_head.py:41-283)."""

@@ -25,6 +25,17 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def make_data_mesh(batch_size: int, axis_name: str = "data") -> Mesh:
+    """Data mesh sized to the batch: the largest divisor of `batch_size`
+    that fits the available devices, so `P("data")` sharding of the batch
+    dim is always valid (a global batch smaller than the slice — e.g. the
+    smoke configs — just uses fewer chips, mirroring how DDP world size is
+    bounded by batch size in the reference, trainer.py:488-494)."""
+    n_avail = len(jax.devices())
+    n = max(d for d in range(1, min(batch_size, n_avail) + 1) if batch_size % d == 0)
+    return make_mesh(n, axis_name)
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(axis_name))

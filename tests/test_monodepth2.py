@@ -23,8 +23,13 @@ def test_monodepth2_multiscale_shapes():
 def test_make_backbone_factory():
     m = make_backbone({"type": "monodepth2", "d_out": 16})
     assert m.latent_size == 16
+    # ibrnet is a real legacy path since IBRNetWithNeuRay landed
+    from scenedino_tpu.models.multi_view_head import IBRNetWithNeuRay
+
+    ib = make_backbone({"type": "ibrnet", "att_feat": 8})
+    assert isinstance(ib, IBRNetWithNeuRay)
     try:
-        make_backbone({"type": "ibrnet"})
+        make_backbone({"type": "no_such_backbone"})
         assert False
     except NotImplementedError:
         pass

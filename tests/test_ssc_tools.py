@@ -140,3 +140,58 @@ def test_grid_predictor_threads_per_frame_state():
     s1, _ = predict(jnp.asarray(pts), {"scale": jnp.float32(1.0)})
     s2, _ = predict(jnp.asarray(pts), {"scale": jnp.float32(2.0)})
     np.testing.assert_allclose(np.asarray(s2), 2.0 * np.asarray(s1), rtol=1e-5)
+
+
+def test_voxel_bit_pack_roundtrip_and_save(tmp_path):
+    # pack/unpack are MSB-first inverses (semantic_kitti.py:7-29)
+    from scenedino_tpu.eval import voxel_io as V
+
+    rng = np.random.RandomState(0)
+    bits = (rng.rand(8 * 37) > 0.5).astype(np.uint8)
+    packed = V.pack_voxel_bits(bits)
+    assert packed.shape == (37,)
+    np.testing.assert_array_equal(V.unpack_voxel_bits(packed), bits)
+
+    # save_semantic_kitti = flip all axes, flatten, pack (semantic_kitti.py:33)
+    grid = (rng.rand(4, 2, 8) > 0.5).astype(np.uint8)
+    path = tmp_path / "voxels.bin"
+    V.save_voxel_grid(grid, str(path), "semantic_kitti")
+    raw = np.fromfile(str(path), dtype=np.uint8)
+    recovered = V.unpack_voxel_bits(raw).reshape(4, 2, 8)
+    np.testing.assert_array_equal(np.flip(recovered, (0, 1, 2)), grid)
+
+    with pytest.raises(NotImplementedError):
+        V.save_voxel_grid(grid, str(path), "other_format")
+
+
+def test_regular_grid_axes_and_inclination():
+    # regular_grid: axis i varies coordinate i; descending ranges allowed;
+    # cam_incl_adjust rotates points (point_sampling.py:8-53)
+    from scenedino_tpu.core.point_sampling import (
+        KITTI_CAM_INCL_ADJUST,
+        kitti_occupancy_grid_points,
+        regular_grid,
+    )
+
+    g = regular_grid((-1.0, 1.0), (0.0, 0.5), (4.0, 2.0), 3, 2, 5)
+    assert g.shape == (3, 2, 5, 3)
+    np.testing.assert_allclose(g[:, 0, 0, 0], [-1.0, 0.0, 1.0], atol=1e-6)
+    np.testing.assert_allclose(g[0, :, 0, 1], [0.0, 0.5], atol=1e-6)
+    np.testing.assert_allclose(g[0, 0, :, 2], [4.0, 3.5, 3.0, 2.5, 2.0], atol=1e-6)
+
+    rot = KITTI_CAM_INCL_ADJUST[:3, :3]
+    g_adj = regular_grid((-1.0, 1.0), (0.0, 0.5), (4.0, 2.0), 3, 2, 5,
+                         cam_incl_adjust=KITTI_CAM_INCL_ADJUST)
+    np.testing.assert_allclose(g_adj, g @ rot.T, atol=1e-6)
+
+    pts = kitti_occupancy_grid_points()
+    assert pts.shape == (256, 64, 256, 3)
+    # inclination tilts Y/Z but leaves X untouched
+    np.testing.assert_allclose(pts[:, 0, 0, 0], np.linspace(-9, 9, 256), atol=1e-5)
+
+
+def test_kitti_dataset_get_points_shape():
+    from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
+
+    pts = KITTI360Dataset.get_points(None, pose=None)  # self unused beyond grid
+    assert pts.shape == (256, 64, 256, 3)
