@@ -168,7 +168,10 @@ def run_stage1(config, sweep_trial=None):
             lambda rc: make_train_step(field, tcfg, rc, lcfg, tx), rcfg, sched
         )
     else:
-        step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
+        # donate the train state: params + adam moments (~1.5 GB for ViT-B)
+        # alias input->output instead of double-buffering every step
+        step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx),
+                       donate_argnums=(0,))
 
     from scenedino_tpu.utils.prefetch import device_prefetch
 
@@ -305,7 +308,19 @@ def run_stage2(config, sweep_trial=None):
 
     tx = make_downstream_optimizer(cfg, head_vars["params"])
     state = init_downstream_state(head_vars, cfg, head_cfg, tx)
-    step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx)
+
+    # data-parallel mesh over the batch dim (reference stage-2 also trains
+    # under DDP, trainer_downstream.py via idist; head grads all-reduce and
+    # the replicated ring buffers pick up every shard's crops through the
+    # compiler-inserted all-gathers). Placement happens BEFORE the step
+    # factory so the partial binds the replicated field params.
+    from scenedino_tpu.parallel.mesh import make_data_mesh, replicated, shard_batch
+
+    mesh = make_data_mesh(batch_size)
+    state = jax.device_put(state, replicated(mesh))
+    field_params = jax.device_put(field_params, replicated(mesh))
+    step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
+                                      donate=True)
     from scenedino_tpu.utils.jax_setup import save_run_config
 
     out_path = config.get("output", {}).get("path", "out/semantic")
@@ -343,7 +358,7 @@ def run_stage2(config, sweep_trial=None):
         )
         yield from device_prefetch(
             host, buffer_size=2,
-            put=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+            put=lambda b: shard_batch(mesh, {k: jnp.asarray(v) for k, v in b.items()}),
         )
 
     from scenedino_tpu.training.validation import make_update_model_fn

@@ -319,8 +319,13 @@ def seed_cluster_centers(
 
 
 def make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
-                               loss_cfg: StegoLossConfig = StegoLossConfig()):
+                               loss_cfg: StegoLossConfig = StegoLossConfig(),
+                               donate: bool = False):
     """Returns an ALREADY-jitted step(state, batch, key).
+
+    donate=True aliases the DownstreamTrainState input to the output
+    (jit buffer donation) — callers must rebind `state` linearly (the
+    `fit` loop does); the frozen field params are never donated.
 
     The frozen field params are bound as a jit *argument* (functools.partial
     over the jitted raw step), NOT a closure: closing over the ~0.5 GB
@@ -359,7 +364,7 @@ def make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
 
     import functools
 
-    jitted = jax.jit(raw_step)
+    jitted = jax.jit(raw_step, donate_argnums=(1,) if donate else ())
     step = functools.partial(jitted, field_params)
     # expose the params-as-argument form for callers that trace the step
     # inside ANOTHER jit (benchmarks): calling the partial there would

@@ -539,7 +539,9 @@ class ScheduledTrainStep:
         key = self.config_at(it)
         if key not in self._cache:
             rc = dataclasses.replace(self._rcfg, n_coarse=key[0], n_fine=key[1])
-            self._cache[key] = jax.jit(self._make(rc))
+            # donate the train state (same aliasing as the unscheduled CLI
+            # jit); safe because `fit` rebinds `state` to the step output
+            self._cache[key] = jax.jit(self._make(rc), donate_argnums=(0,))
         if key != self.current:
             logging.getLogger("training").info(
                 "NeRF sampling resolution changed on schedule ==> c %d f %d",

@@ -163,3 +163,36 @@ def test_downstream_forward_eval_mode():
     )
     assert rendered["depth"].shape == (1, H, W)
     assert "results" in seg_data
+
+
+def test_downstream_pjit_data_parallel():
+    """Stage-2 train step sharded over an 8-device CPU mesh: batch over
+    `data`, head/field params + ring buffers replicated (the run_stage2 CLI
+    wiring; the reference trains stage-2 under ignite DDP the same way)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from scenedino_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+
+    assert jax.device_count() >= 8, "conftest must force 8 host devices"
+    mesh = make_mesh(8)
+    field, head, head_cfg, cfg = build()
+    batch = build_batch(B=8)
+    field_params = init_field_params(field, batch)
+    head_vars = init_head_vars(head, head_cfg)
+
+    tx = make_downstream_optimizer(cfg, head_vars["params"])
+    state = init_downstream_state(head_vars, cfg, head_cfg, tx)
+
+    state = jax.device_put(state, replicated(mesh))
+    field_params = jax.device_put(field_params, replicated(mesh))
+    sharded = shard_batch(mesh, batch)
+    step = make_downstream_train_step(
+        field, field_params, head, cfg, RenderConfig(n_coarse=8), tx, donate=True
+    )
+    state, losses = step(state, sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(losses["total_loss"]))
+    # new state is replicated (params identical across devices) and usable
+    # for a second donated step
+    state, losses = step(state, sharded, jax.random.PRNGKey(4))
+    assert np.isfinite(float(losses["total_loss"]))
+    assert int(np.asarray(state.step)) == 2

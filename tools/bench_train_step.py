@@ -4,7 +4,13 @@ batch alongside gradient accumulation).
 
 Flagship shapes: ViT-B/8 @ 192x640, 4 views (stereo pair x 2 timesteps),
 2048 rays x 32 samples, remat on the ViT. Usage:
-  python tools/bench_train_step.py [batch ...]   (default: 1 2 4)
+  python tools/bench_train_step.py [--donate] [batch ...]   (default: 1 2 4)
+
+--donate: call the TOP-LEVEL jitted step with donate_argnums=(0,) (the
+production `fit` aliasing — device_time's outer jit would swallow inner
+donation, so this mode times plain chained calls with a final scalar
+fetch; coarser clock, but it exercises the real donation path and probes
+the max trainable batch with state aliased in place).
 """
 import sys
 import os
@@ -41,7 +47,9 @@ def main():
 
     key = jax.random.PRNGKey(0)
 
-    batches = [int(b) for b in sys.argv[1:]] or [1, 2, 4]
+    argv = sys.argv[1:]
+    donate = "--donate" in argv
+    batches = [int(b) for b in argv if b != "--donate"] or [1, 2, 4]
     for B in batches:
         imgs = jax.random.uniform(key, (B, V, 3, H, W), jnp.float32) * 2 - 1
         poses = jnp.broadcast_to(jnp.eye(4), (B, V, 4, 4))
@@ -56,18 +64,36 @@ def main():
                 method=SceneField.warmup,
             )
             state, tx = init_train_state(field, params, tcfg)
-            step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
+            if donate:
+                import time
 
-            def timed(state, batch, salt):
-                b = dict(batch)
-                b["imgs"] = b["imgs"] + (salt * 1e-30).astype(b["imgs"].dtype)
-                _, losses = step(state, b, jax.random.fold_in(key, 1))
-                return losses["rec_loss"]
+                step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx),
+                               donate_argnums=(0,))
+                n_iters = 8
+                # warmup/compile + one full chained run before the clock
+                for i in range(2):
+                    state, losses = step(state, batch, jax.random.fold_in(key, i))
+                float(losses["rec_loss"])
+                t0 = time.perf_counter()
+                for i in range(n_iters):
+                    state, losses = step(state, batch, jax.random.fold_in(key, i))
+                float(losses["rec_loss"])  # clock edge: scalar fetch
+                dt = (time.perf_counter() - t0) / n_iters
+                mode = " [donated]"
+            else:
+                step = jax.jit(make_train_step(field, tcfg, rcfg, lcfg, tx))
 
-            dt = device_time(timed, state, batch, iters=4)
+                def timed(state, batch, salt):
+                    b = dict(batch)
+                    b["imgs"] = b["imgs"] + (salt * 1e-30).astype(b["imgs"].dtype)
+                    _, losses = step(state, b, jax.random.fold_in(key, 1))
+                    return losses["rec_loss"]
+
+                dt = device_time(timed, state, batch, iters=4)
+                mode = ""
             print(
                 f"batch={B}: {dt*1e3:8.1f} ms/step ({B/dt:5.2f} img-groups/s, "
-                f"{B*tcfg.ray_batch_size/dt/1e3:7.1f} Krays/s trained)",
+                f"{B*tcfg.ray_batch_size/dt/1e3:7.1f} Krays/s trained){mode}",
                 flush=True,
             )
         except Exception as e:
