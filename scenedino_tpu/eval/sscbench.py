@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from scenedino_tpu.eval.metrics import pseudo_label_assignment
+from scenedino_tpu.eval.metrics import apply_assignment, pseudo_label_assignment
 
 SIGMA_CUTOFF = 0.2
 VOXEL_SIZE = 0.2
@@ -402,8 +402,7 @@ class SSCAccumulator:
 
             conf = r["confusion_seg"][1:, 1:]  # drop unlabeled for matching
             assignment = pseudo_label_assignment(conf)
-            remapped = np.zeros_like(conf)
-            np.add.at(remapped.T, assignment, conf.T)
+            remapped = apply_assignment(conf, assignment)
             tp_h = np.diag(remapped).astype(np.float64)
             fp_h = remapped.sum(0) - tp_h
             fn_h = remapped.sum(1) - tp_h

@@ -23,14 +23,22 @@ class StegoLossConfig:
     pointwise: bool = False
 
 
-def _stego_term(dino_corr, stego_corr, weight, shift, pointwise):
-    """-w * max(stego, 0) * (dino - shift), mean (stego_loss.py:73-81)."""
+def _stego_term(dino_corr, stego_corr, weight, shift, pointwise, valid=None):
+    """-w * max(stego, 0) * (dino - shift), mean (stego_loss.py:73-81).
+
+    valid: optional (Nc,) bool over the leading crop axis — invalid crops
+    are excluded from the mean (the reference never computes terms for
+    them at all: trainer_downstream.py:281-287 drops such crops)."""
     if pointwise:
         old_mean = jnp.mean(dino_corr)
         dino_corr = dino_corr - jnp.mean(dino_corr, axis=-1, keepdims=True)
         dino_corr = dino_corr - jnp.mean(dino_corr) + old_mean
     loss = -weight * jnp.maximum(stego_corr, 0.0) * (dino_corr - shift)
-    return jnp.mean(loss)
+    if valid is None:
+        return jnp.mean(loss)
+    w = valid.astype(loss.dtype)
+    per_crop = jnp.mean(loss.reshape(loss.shape[0], -1), axis=-1)
+    return jnp.sum(per_crop * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def stego_loss(seg_data: Dict, cfg: StegoLossConfig = StegoLossConfig()) -> Dict[str, jnp.ndarray]:
@@ -41,9 +49,10 @@ def stego_loss(seg_data: Dict, cfg: StegoLossConfig = StegoLossConfig()) -> Dict
     total = 0.0
     if "stego_corr" in seg_data:
         sc = seg_data["stego_corr"]
-        self_l = _stego_term(sc["dino_self_corr"], sc["stego_self_corr"], cfg.self_weight, cfg.self_shift, cfg.pointwise)
-        knn_l = _stego_term(sc["dino_nn_corr"], sc["stego_nn_corr"], cfg.knn_weight, cfg.knn_shift, cfg.pointwise)
-        rand_l = _stego_term(sc["dino_random_corr"], sc["stego_random_corr"], cfg.random_weight, cfg.random_shift, cfg.pointwise)
+        valid = sc.get("crop_valid")
+        self_l = _stego_term(sc["dino_self_corr"], sc["stego_self_corr"], cfg.self_weight, cfg.self_shift, cfg.pointwise, valid)
+        knn_l = _stego_term(sc["dino_nn_corr"], sc["stego_nn_corr"], cfg.knn_weight, cfg.knn_shift, cfg.pointwise, valid)
+        rand_l = _stego_term(sc["dino_random_corr"], sc["stego_random_corr"], cfg.random_weight, cfg.random_shift, cfg.pointwise, valid)
         losses.update(self_loss=self_l, knn_loss=knn_l, random_loss=rand_l)
         total = self_l + knn_l + rand_l
 

@@ -189,15 +189,36 @@ class RingBufferState(NamedTuple):
         )
 
 
-def update_ring_buffer(state: RingBufferState, patches, gaps) -> RingBufferState:
-    """Functional ring-buffer write (semantic_head.py:437-449)."""
+def update_ring_buffer(state: RingBufferState, patches, gaps, valid=None) -> RingBufferState:
+    """Functional ring-buffer write (semantic_head.py:437-449).
+
+    valid: optional (n,) bool — rows flagged False are NOT written (the
+    reference drops invalid surface crops before they reach the buffer,
+    trainer_downstream.py:281-287). Static-shape design: stable-sort the
+    valid rows first, write the leading `count` rows at ring positions,
+    and scatter the rest to an out-of-bounds index with mode="drop"."""
     S = state.patch_buffer.shape[0]
     n = patches.shape[0]
-    indices = (jnp.arange(n) + state.idx) % S
-    pb = state.patch_buffer.at[indices].set(patches)
-    gb = state.gap_buffer.at[indices].set(gaps)
-    new_idx = (state.idx + n) % S
-    wrapped = new_idx < state.idx
+    if valid is None:
+        indices = (jnp.arange(n) + state.idx) % S
+        pb = state.patch_buffer.at[indices].set(patches)
+        gb = state.gap_buffer.at[indices].set(gaps)
+        new_idx = (state.idx + n) % S
+        wrapped = new_idx < state.idx
+        filled = jnp.where(wrapped, S, jnp.maximum(jnp.maximum(new_idx, state.filled), 1))
+        return RingBufferState(pb, gb, new_idx, filled)
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)  # valid rows first
+    patches = patches[order]
+    gaps = gaps[order]
+    count = valid.sum()
+    j = jnp.arange(n)
+    indices = jnp.where(j < count, (state.idx + j) % S, S)  # S is OOB
+    pb = state.patch_buffer.at[indices].set(patches, mode="drop")
+    gb = state.gap_buffer.at[indices].set(gaps, mode="drop")
+    new_idx = (state.idx + count) % S
+    wrapped = (state.idx + count) >= S
+    # same high-water semantics as the unmasked path (create() seeds
+    # filled=1 so the pre-push randint upper bound stays positive)
     filled = jnp.where(wrapped, S, jnp.maximum(jnp.maximum(new_idx, state.filled), 1))
     return RingBufferState(pb, gb, new_idx, filled)
 
@@ -268,8 +289,15 @@ class SemanticHead(nn.Module):
         crop_features: Optional[jnp.ndarray] = None,  # (n_crops, P, c) 3D surface crops
         seg_target: Optional[jnp.ndarray] = None,
         deterministic: bool = False,
+        crop_valid: Optional[jnp.ndarray] = None,  # (n_crops,) bool
     ):
         """Training forward (semantic_head.py:122-235).
+
+        crop_valid is the static-shape stand-in for the reference's ragged
+        crop filtering (trainer_downstream.py:281-287): invalid crops are
+        kept in the arrays at fixed capacity but excluded from the ring
+        buffer and masked out of the correlation loss (the mask rides in
+        the returned stego_corr dict for losses/stego.py).
 
         Returns (outputs dict with stego correlations + head results,
         updated buffers)."""
@@ -287,6 +315,7 @@ class SemanticHead(nn.Module):
             cropped = _norm(jax.lax.stop_gradient(crop_features))  # (Nc, P, C)
             stego_self = self.stego_head(cropped, deterministic=deterministic)
         else:
+            crop_valid = None  # 2D five-crops are always valid
             sample_factor = 4
             cd = five_crop(dino_features[:, :1], sample_factor)
             cs = five_crop(stego_features[:, :1], sample_factor)
@@ -296,7 +325,7 @@ class SemanticHead(nn.Module):
         gap = _norm(jnp.mean(cropped, axis=-2))  # (Nc, C)
 
         if not deterministic:
-            buffers = update_ring_buffer(buffers, cropped, gap)
+            buffers = update_ring_buffer(buffers, cropped, gap, valid=crop_valid)
 
         # kNN + random pairs from the buffer (semantic_head.py:168-179)
         sims = jnp.einsum("nf,mf->nm", gap, buffers.gap_buffer)
@@ -324,6 +353,8 @@ class SemanticHead(nn.Module):
             "dino_random_corr": corr(cropped, dino_rand),
             "stego_random_corr": corr(stego_self, stego_rand),
         }
+        if crop_valid is not None:
+            stego_corr["crop_valid"] = crop_valid
 
         # heads train on detached features (semantic_head.py:196-221)
         det_dino = jax.lax.stop_gradient(dino_features)

@@ -173,7 +173,13 @@ class BilinearDownsampler(nn.Module):
         B, V, H, W, one, C = x.shape
         th, tw = H // self.patch_size, W // self.patch_size
         flat = x.reshape(B * V, H, W, C)
-        out = jax.image.resize(flat, (B * V, th, tw, C), method="bilinear")
+        # torch F.interpolate(mode="bilinear") with its antialias=False
+        # default (downsampler.py:26): a 2x2-tap POINT sample at the output
+        # pixel centers, NOT an area average — jax.image.resize would
+        # antialias the 8x/16x downscale (see core/resize.py)
+        from scenedino_tpu.core.resize import torch_interpolate
+
+        out = torch_interpolate(flat, (th, tw), mode="bilinear")
         return out.reshape(B, V, th, tw, 1, C)[..., 0, :]
 
 

@@ -95,8 +95,13 @@ def interpolate_pos_embed(pos_embed, grid_orig, grid_new, num_prefix_tokens=1):
 
     pos_embed: (1, T + Gh*Gw, C). Matches
     `_interpolate_positional_embeddings` (vit.py:65-110): torch bicubic
-    align_corners=False, no antialias == jax.image.resize "bicubic".
+    align_corners=False, antialias=False — NOT jax.image.resize, which
+    antialiases downscales and uses a=-0.5 (core/resize.py has the
+    measured divergence: ~73% relative error on the flagship DINOv2
+    37x37 -> 12x40 downscale).
     """
+    from scenedino_tpu.core.resize import torch_interpolate
+
     prefix = pos_embed[:, :num_prefix_tokens]
     patch = pos_embed[:, num_prefix_tokens:]
     gh, gw = grid_orig
@@ -104,7 +109,7 @@ def interpolate_pos_embed(pos_embed, grid_orig, grid_new, num_prefix_tokens=1):
     if (gh, gw) == (nh, nw):
         return pos_embed
     patch = patch.reshape(1, gh, gw, -1)
-    patch = jax.image.resize(patch, (1, nh, nw, patch.shape[-1]), method="bicubic")
+    patch = torch_interpolate(patch, (nh, nw), mode="bicubic")
     patch = patch.reshape(1, nh * nw, -1)
     return jnp.concatenate([prefix, patch], axis=1)
 
@@ -290,7 +295,10 @@ class VisionTransformer(nn.Module):
             cls_pos, patch_pos = pos_i[:, :Tp], pos_i[:, Tp:]
             zeros = jnp.zeros((1, cfg.num_registers, cfg.width), pos_i.dtype)
             pos_i = jnp.concatenate([cls_pos, zeros, patch_pos], axis=1)
-        x = x + pos_i
+        # keep the residual stream in the compute dtype: adding the fp32
+        # pos-embed param to bf16 tokens would promote every residual add
+        # through all blocks to fp32 (2x HBM traffic under bf16 compute)
+        x = x + pos_i.astype(x.dtype)
 
         out: Dict[str, jnp.ndarray] = {}
         inter = set(cfg.intermediate_layers)

@@ -104,11 +104,20 @@ def build_fast_state(
 
 def can_fold(params, cfg: FieldConfig, head_name: str = "heads_normal_head") -> bool:
     """True when `build_fast_state`'s linear-fold applies: the shipped
-    2-layer ResnetFC head (n_blocks=0 -> only lin_in/lin_out params) and
-    learn_empty off. Static (host-side) check on the params tree."""
+    2-layer ResnetFC head (n_blocks=0 -> only lin_in/lin_out params),
+    learn_empty off, and normal_head as the ONLY prediction head — a
+    split_dino_heads config (field.py:249-252 concatenates normal_head +
+    dino_head columns) must fall back to the generic renderer, since the
+    fold only bakes the named head. Static (host-side) check."""
     if cfg.learn_empty:
         return False
-    head = params.get("params", {}).get(head_name)
+    p = params.get("params", {})
+    extra_heads = [
+        k for k in p if k.startswith("heads_") and k != head_name
+    ]
+    if extra_heads:
+        return False
+    head = p.get(head_name)
     if head is None:
         return False
     return set(head.keys()) == {"lin_in", "lin_out"}
@@ -151,7 +160,6 @@ def render_encode_view(
     n_coarse: int = 32,
     lindisp: bool = True,
     hard_alpha_cap: bool = True,
-    chunk_rows: Optional[int] = None,
 ):
     """Render the encode camera's own view with ZERO feature gathers.
 

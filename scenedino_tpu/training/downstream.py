@@ -213,7 +213,8 @@ def downstream_forward(
             hard_alpha_cap=rcfg.hard_alpha_cap,
         )
         dino64 = dino64.reshape(B, 1, H, W, 1, -1)
-        rgb_out = rgb.reshape(B, H * W, 1, 3)
+        # match the generic renderer's (B, H*W, VC) layout (nerf.py _format)
+        rgb_out = rgb.reshape(B, H * W, 3)
     else:
         sampler = ImageRaySampler(cfg.z_near, cfg.z_far, height=H, width=W)
         rays = sampler.sample(imgs_e, poses_e, projs_e)
@@ -233,11 +234,13 @@ def downstream_forward(
     depth = depth.reshape(B, H, W)
 
     crop_feats = None
+    crop_valid = None
     if cfg.mode == "3d":
         crop_feats, crop_valid = sample_3d_crops(
             field, field_params, state, depth, poses_e, projs_e, k_crop, cfg
         )
         crop_feats = crop_feats.reshape(-1, cfg.n_samples, crop_feats.shape[-1])
+        crop_valid = crop_valid.reshape(-1)  # (B * n_crops,)
 
     seg_target = None
     if has_segs:
@@ -252,6 +255,7 @@ def downstream_forward(
         crop_features=crop_feats,
         seg_target=seg_target,
         deterministic=not training,
+        crop_valid=crop_valid,
         method=SemanticHead.forward_training,
         rngs={"dropout": k_drop},
         mutable=["state"],

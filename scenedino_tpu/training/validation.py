@@ -70,7 +70,7 @@ class DictMeanAccumulator:
 
     def reset(self):
         self._sums: Dict[str, float] = {}
-        self._n = 0
+        self._counts: Dict[str, int] = {}
 
     def update(self, values: Dict[str, Any]):
         for k, v in values.items():
@@ -79,12 +79,14 @@ class DictMeanAccumulator:
                 logger.warning("metric %s/%s is NaN; skipped", self.name, k)
                 continue
             self._sums[k] = self._sums.get(k, 0.0) + v
-        self._n += 1
+            # per-key counts: a NaN-skipped or absent key must not deflate
+            # the mean of the updates that DID report it
+            self._counts[k] = self._counts.get(k, 0) + 1
 
     def compute(self) -> Dict[str, float]:
-        if self._n == 0:
-            return {}
-        return {f"{self.name}_{k}": v / self._n for k, v in self._sums.items()}
+        return {
+            f"{self.name}_{k}": v / self._counts[k] for k, v in self._sums.items()
+        }
 
 
 class ConcatAccumulator:
@@ -388,9 +390,11 @@ def make_stage2_validator(
                 stego_acc = ConcatAccumulator("stego")
         for batch in batches_fn():
             key, sub = jax.random.split(key)
-            seg_data, _ = jax.device_get(
-                fwd(state.head_variables, state.buffers, batch, sub)
-            )
+            # fetch ONLY seg_data: the discarded rendered dict carries the
+            # full-frame 768-d feature map (~380 MB/batch fp32) — device_get
+            # on the whole tuple would pull it to host just to drop it
+            out = fwd(state.head_variables, state.buffers, batch, sub)
+            seg_data = jax.device_get(out[0])
             if seg_acc is not None and "segs" in batch:
                 seg_acc.update(
                     compute_seg_confusions(

@@ -171,3 +171,50 @@ def test_semantic_head_inference_modes():
         pred = head.apply(var, feats, mode=mode)
         assert pred.shape == (3,)
         assert int(jnp.max(pred)) < 4
+
+
+def test_ring_buffer_masked_write_drops_invalid_rows():
+    """valid=False rows must not enter the buffer (the reference drops
+    invalid surface crops before the push, trainer_downstream.py:281-287)."""
+    st = RingBufferState.create(buffer_size=4, patch_sample_size=2, input_dim=3)
+    p = jnp.stack([jnp.full((2, 3), v) for v in (1.0, 2.0, 3.0)])
+    g = jnp.stack([jnp.full((3,), v) for v in (1.0, 2.0, 3.0)])
+    valid = jnp.array([True, False, True])
+    st = update_ring_buffer(st, p, g, valid=valid)
+    assert int(st.idx) == 2 and int(st.filled) == 2
+    # rows 1.0 and 3.0 written contiguously; 2.0 (invalid) nowhere
+    assert float(st.gap_buffer[0, 0]) == 1.0
+    assert float(st.gap_buffer[1, 0]) == 3.0
+    assert not np.any(np.asarray(st.gap_buffer) == 2.0)
+    # all-invalid push is a no-op
+    st2 = update_ring_buffer(st, p, g, valid=jnp.zeros(3, bool))
+    assert int(st2.idx) == 2 and int(st2.filled) == 2
+    np.testing.assert_array_equal(np.asarray(st2.patch_buffer), np.asarray(st.patch_buffer))
+
+
+def test_stego_loss_masks_invalid_crops():
+    """Invalid crops are excluded from the correlation means: corrupting an
+    invalid crop's correlations must not move any loss term."""
+    from scenedino_tpu.losses.stego import StegoLossConfig
+
+    rng = np.random.RandomState(0)
+    Nc, P = 4, 6
+    sc = {
+        k: jnp.asarray(rng.randn(Nc, P, P).astype(np.float32))
+        for k in (
+            "dino_self_corr", "stego_self_corr", "dino_nn_corr",
+            "stego_nn_corr", "dino_random_corr", "stego_random_corr",
+        )
+    }
+    valid = jnp.array([True, True, False, True])
+    base = stego_loss({"stego_corr": {**sc, "crop_valid": valid}})
+    corrupted = {
+        k: v.at[2].set(100.0) for k, v in sc.items()
+    }
+    after = stego_loss({"stego_corr": {**corrupted, "crop_valid": valid}})
+    for k in ("self_loss", "knn_loss", "random_loss", "total_loss"):
+        assert np.isclose(float(base[k]), float(after[k])), k
+    # ...but corrupting a VALID crop does move the loss
+    corrupted2 = {k: v.at[0].set(100.0) for k, v in sc.items()}
+    moved = stego_loss({"stego_corr": {**corrupted2, "crop_valid": valid}})
+    assert not np.isclose(float(base["total_loss"]), float(moved["total_loss"]))
