@@ -121,7 +121,14 @@ class PatchRaySampler:
         dflat = dino_features.transpose(0, 1, 3, 4, 2).reshape(B, Vd * Gh * Gw, Cd)
         if self.dino_upscaled:
             # pixel-resolution teacher (upsample-gt mode): one gt vector per
-            # RAY, sliced like the rgb patch (ray_sampler.py:255-258)
+            # RAY, sliced like the rgb patch (ray_sampler.py:255-258).
+            # NOTE (reference-exact, not a bug): under grid_shift the
+            # teacher map is ALREADY computed from the shifted image
+            # (bts.py:196-206) and the reference still slices it at the
+            # shifted pixel coords y = s%P + P*py it uses for rgb/rays
+            # (ray_sampler.py:233,255-258) — the teacher supervision is
+            # offset by `s` pixels from the rendered pixel by design of
+            # the augmentation; we reproduce that exactly.
             assert (Gh, Gw) == (H, W), "upscaled dino gt must match image res"
             dino_gt = jnp.take_along_axis(dflat, flat[..., None], axis=1)  # (B, R, Cd)
         else:
@@ -130,8 +137,8 @@ class PatchRaySampler:
             dino_gt = jnp.take_along_axis(dflat, didx[..., None], axis=1)
         return rays_out, rgb_gt, dino_gt
 
-    def reconstruct(self, flat, trailing_shape=()):
-        """(B, R, ...) -> (B, PC, P, P, ...)."""
+    def reconstruct(self, flat):
+        """(B, R, ...) -> (B, PC, P, P, ...); trailing dims come from flat."""
         B = flat.shape[0]
         return flat.reshape(B, self.patch_count, self.patch_size, self.patch_size, *flat.shape[2:])
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -314,7 +315,13 @@ class KITTI360Dataset:
         self.random_fisheye_offset = len(self.fisheye_offset) > 1
         self.random_stereo_offset = len(self.stereo_offset) > 1
 
-        self._rng = np.random.RandomState(self.seed)
+        # per-thread RNGs: __getitem__ runs on ThreadedLoader worker threads
+        # (utils/prefetch.py) and np.random.RandomState is not thread-safe —
+        # a shared instance would corrupt the Mersenne-Twister state under
+        # concurrent draws. Each worker thread lazily gets its own stream
+        # derived from (seed, thread id); the reference gets this for free
+        # from DataLoader worker PROCESSES.
+        self._rng_local = threading.local()
         self._sequences = self._get_sequences(self.data_path)
         self._calibs = load_calibs(self.data_path, self.fisheye_rotation)
         self._resampler_02 = FisheyeToPinholeSampler(
@@ -446,6 +453,18 @@ class KITTI360Dataset:
         from scenedino_tpu.core.point_sampling import kitti_occupancy_grid_points
 
         return kitti_occupancy_grid_points()
+
+    @property
+    def _rng(self) -> np.random.RandomState:
+        rng = getattr(self._rng_local, "rng", None)
+        if rng is None:
+            rng = np.random.RandomState(
+                np.random.SeedSequence(
+                    [self.seed, threading.get_ident() % (2**31)]
+                ).generate_state(1)[0]
+            )
+            self._rng_local.rng = rng
+        return rng
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         seq, id, is_right = self._datapoints[index]

@@ -86,11 +86,22 @@ def invalid_mask(invalids, weights, policy="weight_guided", rgb_samps=None, occ=
     if policy == "weight_guided_diverse":
         # additionally drop rays whose per-view color samples barely vary
         # along the ray (no parallax signal), reconstruction_loss.py:136-147
+        if rgb_samps is None:
+            raise ValueError(
+                "invalid_policy 'weight_guided_diverse' needs rgb_samps — "
+                "render with want_rgb_samps=True (the stage-1 trainer "
+                "forwards coarse['rgb_samps'] automatically)"
+            )
         w = jnp.sum(invalids * weights[..., None], axis=-2)  # (..., V)
         ray_std = jnp.std(rgb_samps, axis=-3).mean(-1)  # (..., V)
         return jnp.all((w > 0.9) | (ray_std < 0.01), axis=-1, keepdims=True)
     if policy == "occ_weight_guided":
         # occ == 1 marks possible valid reprojection (:125-134)
+        if occ is None:
+            raise ValueError(
+                "invalid_policy 'occ_weight_guided' needs per-ray occupancy "
+                "proposals under coarse['occ'] (flow-occlusion processor)"
+            )
         w = jnp.sum(invalids * weights[..., None], axis=-2)
         wg = jnp.all(w > 0.9, axis=-1, keepdims=True)
         return wg | ~(occ > 0.5)
@@ -133,7 +144,13 @@ def reconstruction_loss(
     total = 0.0
     coarse = data["coarse"]
 
-    inv = invalid_mask(coarse["invalid"], coarse["weights"], cfg.invalid_policy)
+    # rgb_samps/occ ride in the coarse dict when present — the
+    # weight_guided_diverse and occ_weight_guided policies need them
+    # (reconstruction_loss.py:109-171); the plain policies ignore them
+    inv = invalid_mask(
+        coarse["invalid"], coarse["weights"], cfg.invalid_policy,
+        rgb_samps=coarse.get("rgb_samps"), occ=coarse.get("occ"),
+    )
 
     rgb = coarse["rgb"]  # (B, PC, H, W, V, 3)
     rgb_gt = data["rgb_gt"][..., None, :3]  # (B, PC, H, W, 1, 3)
@@ -153,6 +170,10 @@ def reconstruction_loss(
         # (reconstruction_loss.py:265-270); smoothness (below) stays per-pixel
         dino = coarse.get("dino_features_downsampled", coarse["dino_features"])
         dino_gt = data["dino_gt"]
+        # temperature_dino multiplies BOTH cosine inputs exactly like the
+        # reference (reconstruction_loss.py:325-327) — under L2-normalized
+        # cosine this cancels, so the knob is a faithful no-op there and
+        # here; kept only for config/parity fidelity
         d_err = cosine_error(cfg.temperature_dino * dino, cfg.temperature_dino * dino_gt)
         loss_dino = jnp.nanmean(d_err)
         losses["loss_dino_coarse"] = loss_dino

@@ -71,7 +71,9 @@ def render_rays(
     """
     B, R, r_dim = rays.shape
     flat = rays.reshape(B * R, r_dim)
-    k_coarse, k_fine, k_noise_c, k_noise_f = jax.random.split(key, 4)
+    # distinct keys for the two fine-sampling branches: both may run in one
+    # pass (n_fine > n_fine_depth > 0) and must draw independently
+    k_coarse, k_fine, k_fine_depth, k_noise_c, k_noise_f = jax.random.split(key, 5)
 
     if sample_from_dist is None:
         z_coarse = sampling.sample_coarse(k_coarse, flat, cfg.n_coarse, cfg.lindisp)
@@ -99,7 +101,7 @@ def render_rays(
         if cfg.n_fine_depth > 0:
             samps.append(
                 sampling.sample_fine_depth(
-                    k_fine, flat, coarse["depth"], cfg.n_fine_depth, cfg.depth_std
+                    k_fine_depth, flat, coarse["depth"], cfg.n_fine_depth, cfg.depth_std
                 )
             )
         z_all = jnp.sort(jnp.concatenate(samps, axis=-1), axis=-1)
@@ -126,6 +128,13 @@ def render_rays_chunked(
     B, R, rd = rays.shape
     if R <= chunk:
         return render_rays(field_fn, rays, key, cfg, **kwargs)
+    if kwargs.get("sample_from_dist") is not None:
+        raise ValueError(
+            "render_rays_chunked cannot forward sample_from_dist: the "
+            "proposal (weights, z) tensors would need tiling alongside the "
+            "rays. Call render_rays directly (R <= chunk) for proposal-"
+            "based rendering."
+        )
     assert R % chunk == 0, f"ray count {R} not divisible by chunk {chunk}"
     T = R // chunk
     tiles = rays.reshape(B, T, chunk, rd).transpose(1, 0, 2, 3)  # (T, B, c, rd)
@@ -183,6 +192,12 @@ def _composite(field_fn, rays, z_samp, cfg, sb, noise_key, training):
         pix_alpha = weights.sum(-1, keepdims=True)
         rgb_final = rgb_final + 1.0 - pix_alpha
 
+    # NOTE: the reference additionally exports a per-sample encoder-view
+    # feature-invalid mask ("invalid_features", bts.py sample_features); the
+    # FieldFn contract here folds it into `invalid` already (field.py:278
+    # ORs feature invalidity into the render-view mask), so no separate
+    # tensor is emitted — consumers needing the raw encoder-view mask query
+    # SceneField.sample_features directly.
     return {
         "weights": weights,
         "rgb": rgb_final,
@@ -192,7 +207,6 @@ def _composite(field_fn, rays, z_samp, cfg, sb, noise_key, training):
         "z_samps": z_samp,
         "rgb_samps": rgb,
         "dino_features": dino_final,
-        "invalid_features": invalid.astype(jnp.float32),
     }
 
 
@@ -203,14 +217,16 @@ def _format(c, sb, want_weights, want_alphas, want_z_samps, want_rgb_samps):
     def r(x, *trail):
         return x.reshape(sb, -1, *trail) if x is not None else None
 
+    def r_last(x):
+        """r() with trailing dims read off x itself (keeps None-safety in
+        one place)."""
+        return r(x, *x.shape[1:]) if x is not None else None
+
     out = {
-        "rgb": r(c["rgb"], c["rgb"].shape[-1]) if c["rgb"] is not None else None,
+        "rgb": r_last(c["rgb"]),
         "depth": c["depth"].reshape(sb, -1),
         "invalid": r(c["invalid"], K, c["invalid"].shape[-1]),
-        "dino_features": r(c["dino_features"], c["dino_features"].shape[-1])
-        if c["dino_features"] is not None
-        else None,
-        "invalid_features": r(c["invalid_features"], K, c["invalid_features"].shape[-1]),
+        "dino_features": r_last(c["dino_features"]),
     }
     if want_weights:
         out["weights"] = r(c["weights"], K)

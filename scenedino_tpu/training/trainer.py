@@ -255,6 +255,13 @@ def stage1_forward(
         "weights": sampler.reconstruct(c["weights"]),
         "dino_features": sampler.reconstruct(c["dino_features"]),
     }
+    if "rgb_samps" in c:
+        # per-sample colors feed the weight_guided_diverse invalid policy
+        # (reconstruction_loss.py:136-147)
+        coarse["rgb_samps"] = (
+            sampler.reconstruct(c["rgb_samps"])
+            .reshape(B, PC, P, P, K, Vr, C_img)[..., :3]
+        )
     if C_img > 3:
         # rendered per-ray uncertainty (extra integrated color channel)
         coarse["uncert"] = rgb_full[..., 3:].mean(-2)  # (B, PC, P, P, Ce)

@@ -347,3 +347,27 @@ def test_fit_with_scheduled_step(tmp_path):
     out = fit(state, sts, lambda: iter([batch] * 4), cfg, jax.random.PRNGKey(0))
     assert int(np.asarray(out.step)) == 4
     assert sts.current == (4, 0)
+
+
+def test_stage1_forward_weight_guided_diverse_policy():
+    """The weight_guided_diverse invalid policy runs end-to-end: the
+    trainer forwards coarse['rgb_samps'] into the loss (the reference
+    policy needs per-sample colors, reconstruction_loss.py:136-147)."""
+    from scenedino_tpu.training.trainer import stage1_forward
+
+    field = build_field()
+    tcfg = TrainConfig(
+        ray_batch_size=64, patch_size=PATCH,
+        compensate_artifacts=False, grid_shift_augmentation=False,
+    )
+    rcfg = RenderConfig(n_coarse=8)
+    lcfg = ReconstructionLossConfig(
+        invalid_policy="weight_guided_diverse",
+        lambda_dino_edge_aware_smoothness=0.0,
+    )
+    batch = build_batch()
+    params = init_all(field, batch, tcfg)
+    loss, losses = stage1_forward(
+        field, params, batch, jax.random.PRNGKey(1), tcfg, rcfg, lcfg, training=True
+    )
+    assert np.isfinite(float(loss))
