@@ -78,10 +78,12 @@ def main():
 
         sd = torch.load(args.ckpt, map_location="cpu")["model"]
         conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
-        variables = {"params": conv["params"], **conv.get("state", {})}
+        # nest the converted state collection under the "state" KEY (flax
+        # collections), not spread at the top level
+        variables = {"params": conv["params"], "state": conv.get("state", {})}
         head_vars = {
             "params": variables["params"]["downstream"],
-            "state": variables.get("state", {}).get("downstream", {}),
+            "state": variables["state"].get("downstream", {}),
         }
     else:
         restored = load_checkpoint(ckpt)

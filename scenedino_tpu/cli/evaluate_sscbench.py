@@ -112,9 +112,16 @@ def main():
 
         sd = torch.load(args.ckpt, map_location="cpu")["model"]
         conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
-        variables = {"params": conv["params"], **conv.get("state", {})}
+        # nest the converted state collection under the "state" KEY —
+        # spreading its contents at the top level would leave flax's
+        # "state" collection (pseudo_assignment) missing at apply time
+        variables = {"params": conv["params"], "state": conv.get("state", {})}
     else:
-        variables = load_checkpoint(args.ckpt, target=variables)
+        # target-free restore: the converted-orbax layout (download_checkpoint)
+        # carries extra leaves (artifact_field) and may lack "state", which a
+        # structural target= restore would reject
+        restored = load_checkpoint(args.ckpt)
+        variables = {"params": restored["params"], "state": restored.get("state", {})}
 
     calib = S.read_calib(args.calib)
     pts, fov_mask = S.generate_point_grid(calib=calib)

@@ -57,7 +57,11 @@ def torch_resize_matrix(n_in: int, n_out: int, mode: str = "bilinear") -> np.nda
     src = (i + 0.5) * scale - 0.5
     i0 = np.floor(src).astype(np.int64)
     t = src - i0
-    if mode == "bilinear":
+    if mode == "nearest":
+        # torch "nearest": floor(i * scale), NO half-pixel shift
+        idx = np.floor(i * scale).astype(np.int64)
+        taps = [(idx, np.ones(n_out))]
+    elif mode == "bilinear":
         taps = [(i0, 1.0 - t), (i0 + 1, t)]
     elif mode == "bicubic":
         taps = [

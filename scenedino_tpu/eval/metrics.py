@@ -101,11 +101,12 @@ def occupancy_metrics(pred_occ, gt_occ, mask=None):
     fn = jnp.sum(~pred_occ & gt_occ & mask)
     tn = jnp.sum(~pred_occ & ~gt_occ & mask)
     denom = lambda x: jnp.maximum(x, 1)
+    # no ie_* here: the invisible-empty metrics need a visibility mask —
+    # use compute_occ_metrics_visible (exact reference parity) for those
     return {
         "o_acc": (tp + tn) / denom(tp + tn + fp + fn),
         "o_prec": tp / denom(tp + fp),
         "o_rec": tp / denom(tp + fn),
-        "ie_acc": (tp + tn) / denom(tp + tn + fp + fn),
         "o_iou": tp / denom(tp + fp + fn),
     }
 
@@ -173,13 +174,26 @@ def seg_confusion_matrix(target, pred, n_gt, n_pred=None, ignore_index=-1):
 
 def pseudo_label_assignment(confusion: np.ndarray) -> np.ndarray:
     """Pseudo class -> GT class map maximizing matched counts
-    (reference PuLP ILP, metrics.py:431-456; see module docstring)."""
+    (reference PuLP ILP, metrics.py:431-456; see module docstring).
+
+    Exact reduction of the capacitated ILP (each pseudo to exactly one GT,
+    each GT covered >= once, maximize matched counts): every pseudo column
+    defaults to its argmax GT; coverage forces an injective GT -> pseudo
+    override, optimally chosen by Hungarian on the REGRET matrix
+    conf[i, j] - colmax[j] (the cost of diverting column j from its
+    argmax). Plain Hungarian on conf ignores that opportunity cost and is
+    sub-optimal under over-segmentation (e.g. conf [[10,9,0],[0,8,7]]:
+    argmax [0,0,1] scores 26 and covers both rows; conf-Hungarian would
+    force [0,1,1] scoring 25)."""
     from scipy.optimize import linear_sum_assignment
 
     conf = np.asarray(confusion, np.float64)  # (gt, pseudo)
     n_gt, n_pseudo = conf.shape
-    assignment = np.argmax(conf, axis=0)  # default: best gt per pseudo
-    rows, cols = linear_sum_assignment(conf, maximize=True)
+    colmax_idx = np.argmax(conf, axis=0)
+    colmax = conf[colmax_idx, np.arange(n_pseudo)]
+    regret = conf - colmax[None, :]  # <= 0 everywhere
+    rows, cols = linear_sum_assignment(regret, maximize=True)
+    assignment = colmax_idx.copy()
     for i, j in zip(rows, cols):
         assignment[j] = i
     return assignment.astype(np.int64)

@@ -68,6 +68,11 @@ class Seg2DEvaluator:
                 self.use_fast_render
                 and imgs.shape[0] == 1
                 and can_fold(field_params, self.field.cfg)
+                # the folded path builds rays from the FIELD's z-range; an
+                # evaluator configured with a different range must use the
+                # generic sampler or the two paths would silently disagree
+                and (self.z_near, self.z_far)
+                == (self.field.cfg.z_near, self.field.cfg.z_far)
             )
             if fast:
                 fs = build_fast_state(
@@ -96,7 +101,10 @@ class Seg2DEvaluator:
             if self.apply_crf:
                 from scenedino_tpu.eval.crf import dense_crf
 
-                rgb = rgb_flat * 0.5 + 0.5
+                # rendered rgb is ALREADY in [0,1]: SceneField.encode stores
+                # color_imgs de-normalized (field.py:174); re-mapping with
+                # *0.5+0.5 would wash out the CRF appearance kernel
+                rgb = jnp.clip(rgb_flat, 0.0, 1.0)
                 for mode in self.modes:
                     onehot = jax.nn.one_hot(preds[mode], self.n_classes)
                     probs = dense_crf(rgb, onehot)

@@ -197,6 +197,13 @@ class PatchSalienceDownsampler(nn.Module):
     @nn.compact
     def __call__(self, x, mode="image"):
         P = self.patch_size
+        # `channels` mirrors the reference Conv2d in_channels
+        # (downsampler.py:36): validate instead of silently re-shaping the
+        # lazily-created conv on a mismatched width
+        assert x.shape[-1] == self.channels, (
+            f"PatchSalienceDownsampler built for {self.channels}-d features, "
+            f"got {x.shape[-1]}-d input"
+        )
         def _mean_one_init(key, shape, dtype=jnp.float32):
             return 1.0 + 0.01 * jax.random.normal(key, shape, dtype)
 
@@ -361,7 +368,11 @@ class DinoModule(nn.Module):
         if self.cfg.mode == "downsample-prediction":
             P = self.gt_patch_size
             B, C, H, W = student[0].shape
-            dummy = jnp.zeros((B, 1, P, P, 1, self.vit_encoder.latent_size))
+            # the downsampler consumes TEACHER-space features (its conv is
+            # built with gt_encoder.latent_size, downsampler.py:36); a
+            # student-width dummy would create a mismatched salience conv
+            # whenever student and teacher widths differ
+            dummy = jnp.zeros((B, 1, P, P, 1, self.gt_encoder.latent_size))
             _ = self.downsample(dummy, "patch")
         _ = self.expand_dim(jnp.zeros((1, self.cfg.dino_pca_dim)))
         return student

@@ -32,19 +32,25 @@ class InterpolatedGT(nn.Module):
 
     @nn.compact
     def __call__(self, gt_encoder, x):
+        from scenedino_tpu.core.resize import torch_interpolate
+
         feats = gt_encoder(x)[-1]  # (B, C, Gh, Gw)
-        B, C, gh, gw = feats.shape
-        out = jax.image.resize(
-            feats.transpose(0, 2, 3, 1),
-            (B, *self.image_size, C),
-            method=self.interpolation,
+        # the reference routes through NoDecoder -> F.interpolate
+        # (antialias=False); bicubic (a=-0.75) and nearest (floor
+        # convention) differ from jax.image.resize even on upscale
+        out = torch_interpolate(
+            feats.transpose(0, 2, 3, 1), self.image_size, mode=self.interpolation
         )
         return out.transpose(0, 3, 1, 2)
 
 
-def _sample_crop_params(key, batch, n_aug, image_ratio):
+def _sample_crop_params(key, batch, n_aug, image_ratio=None):
     """RandomResizedCrop params in NDC: scale in [0.5, 1] of area, aspect in
-    [ratio/1.2, ratio*1.2], random position, hflip p=0.5."""
+    [ratio/1.2, ratio*1.2], random position, hflip p=0.5.
+
+    image_ratio is accepted for signature stability but unused: in the NDC
+    formulation the crop extents are relative to the image axes, so the
+    absolute aspect (H/W) cancels out of the warp."""
     k_s, k_r, k_x, k_y, k_f = jax.random.split(key, 5)
     area = jax.random.uniform(k_s, (batch, n_aug), minval=0.5, maxval=1.0)
     log_r = jax.random.uniform(

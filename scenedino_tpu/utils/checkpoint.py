@@ -95,8 +95,16 @@ def convert_vit(sd, prefix, depth=12, num_registers=0, layerscale=False, class_t
             "mlp": {"fc1": linear(sd, f"{b}.mlp.fc1"), "fc2": linear(sd, f"{b}.mlp.fc2")},
         }
         if layerscale:
-            blk["ls1"] = _t(sd.get(f"{b}.ls1.gamma", sd.get(f"{b}.ls1.weight")))
-            blk["ls2"] = _t(sd.get(f"{b}.ls2.gamma", sd.get(f"{b}.ls2.weight")))
+            for ls, name in (("ls1", "ls1"), ("ls2", "ls2")):
+                v = sd.get(f"{b}.{name}.gamma", sd.get(f"{b}.{name}.weight"))
+                if v is None:
+                    # fail here with a clear message instead of smuggling a
+                    # None object-array into the params tree
+                    raise KeyError(
+                        f"layerscale inferred but {b}.{name}.gamma/.weight "
+                        "missing from the checkpoint (truncated state dict?)"
+                    )
+                blk[ls] = _t(v)
         p[f"blocks_{i}"] = blk
     p["norm"] = layernorm(sd, f"{prefix}.norm")
     return p

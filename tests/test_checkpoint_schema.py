@@ -229,3 +229,33 @@ def test_vit_meta_inference():
     sd["m.reg_token"] = rng.randn(1, 4, D_VIT)
     depth, regs, ls = CK.infer_vit_meta(sd, "m")
     assert (depth, regs, ls) == (DEPTH, 4, True)
+
+
+def test_converted_variables_nesting_runs_segmentation():
+    """The eval CLIs assemble variables as {"params": ..., "state": conv["state"]}
+    — the state COLLECTION must be nested under the "state" key (spreading
+    its contents at the top level loses the pseudo_assignment collection
+    and flax fails at apply time). Run the full predict_segmentation path
+    with that assembly."""
+    sd = reference_state_dict(with_downstream=True)
+    conv = CK.convert_scenedino_checkpoint(sd, strict=True)
+
+    head = SemanticHead(cfg=SemanticHeadConfig(
+        n_classes=N_CLS, gt_classes=GT_CLS, input_dim=D_VIT, code_dim=CODE_DIM
+    ))
+    field = make_model(tiny_model_conf(), downstream=head)
+    variables = {"params": conv["params"], "state": conv.get("state", {})}
+
+    k = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((1, 1, 3, *IMG))
+    ks = jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3))
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    state = field.apply(variables, imgs, ks, poses, method=SceneField.encode,
+                        ids_encoder=(0,))
+    pts = jnp.zeros((1, 8, 3))
+    _, sigma, seg = field.apply(
+        variables, state, pts, mode="stego_kmeans",
+        method=SceneField.query_segmentation,
+    )
+    assert seg is not None and seg.shape[:2] == (1, 8)
+    assert np.all(np.isfinite(np.asarray(sigma)))

@@ -134,3 +134,26 @@ def test_grid_predictor_and_accumulator_perfect_prediction():
         assert out[size]["occ_iou"] > 0.95, (size, out[size]["occ_iou"])
         # road is class index 7 -> per-class iou index 6
         assert out[size]["direct_per_class_iou"][6] > 0.95
+
+
+def test_pseudo_assignment_oversegmentation_optimal():
+    """Over-segmentation counterexample: argmax covers all GT rows and is
+    optimal; a plain Hungarian on conf would sub-optimally force column 1
+    to GT 1 (score 25 < 26). The regret-matrix reduction must find 26."""
+    conf = np.array([[10, 9, 0], [0, 8, 7]], np.int64)
+    a = M.pseudo_label_assignment(conf)
+    np.testing.assert_array_equal(a, [0, 0, 1])
+    score = sum(conf[a[j], j] for j in range(conf.shape[1]))
+    assert score == 26
+    # coverage: every GT row receives at least one pseudo column
+    assert set(a) == {0, 1}
+
+
+def test_pseudo_assignment_forced_coverage():
+    """When argmax leaves a GT row uncovered, the regret Hungarian diverts
+    the cheapest column to cover it (ILP 'each GT >= 1' constraint)."""
+    conf = np.array([[10, 9, 8], [1, 2, 3]], np.int64)  # argmax all -> GT 0
+    a = M.pseudo_label_assignment(conf)
+    assert set(a) == {0, 1}
+    # optimal: divert column 2 (regret 8-3=5 is the smallest loss)
+    np.testing.assert_array_equal(a, [0, 0, 1])

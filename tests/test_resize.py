@@ -53,3 +53,13 @@ def test_jax_resize_diverges_on_downscale():
     assert np.abs(jx - ref).mean() > 0.05  # large, systematic divergence
     ours = np.asarray(torch_interpolate(jnp.asarray(x), (12, 40), mode="bicubic"))
     assert np.abs(ours - ref).mean() < 1e-5
+
+
+@pytest.mark.parametrize("shape,size", CASES)
+def test_nearest_matches_torch(shape, size):
+    rng = np.random.RandomState(3)
+    x = rng.randn(1, *shape, 3).astype(np.float32)
+    ours = np.asarray(torch_interpolate(jnp.asarray(x), size, mode="nearest"))
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = torch.nn.functional.interpolate(t, size=size, mode="nearest")
+    np.testing.assert_array_equal(ours, ref.permute(0, 2, 3, 1).numpy())
