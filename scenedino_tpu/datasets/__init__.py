@@ -41,6 +41,7 @@ def make_datasets(config: dict) -> Tuple:
 
         train = RealEstate10kDataset(
             data_path=config["data_path"],
+            split_path=config.get("split_path"),
             image_size=tuple(config.get("image_size", (256, 384))),
             frame_count=config.get("data_fc", 4),
             dilation=config.get("dilation", 3),

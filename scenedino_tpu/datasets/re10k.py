@@ -17,9 +17,13 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
-def process_proj(K_norm_pix, orig_size, crop, target_size):
+def process_proj(K_norm_pix, orig_size, crop, target_size=None):
     """Pixel-normalized K (fx, fy, cx, cy in [0,1] units) -> NDC K after a
-    crop+resize (re10k_util.py behavior)."""
+    crop+resize (re10k_util.py behavior).
+
+    target_size is unused by design: NDC intrinsics are invariant under
+    the crop -> target resize (both axes rescale identically), so only
+    the crop geometry enters the math."""
     H, W = orig_size
     fx = K_norm_pix[0, 0] * W
     fy = K_norm_pix[1, 1] * H
@@ -77,21 +81,60 @@ class RealEstate10kDataset:
                 v["timestamps"] = v["timestamps"][::10]
                 v["poses"] = v["poses"][::10]
                 v["intrinsics"] = v["intrinsics"][::10]
-        self._left_offset = ((self.frame_count - 1) // 2 + self.keyframe_offset) * self.dilation
+        # (the reference computes a keyframe left_offset at :48 but forces
+        # it to 0 in full-split mode and never consumes it for split-file
+        # tuple datapoints, :56-59 — so there is none here either)
         sub = (self.frame_count - 1) * self.dilation
-        self._datapoints = []
-        for k, v in self._seq_data.items():
-            n = len(v["timestamps"])
-            if n < sub + 1:
-                continue
-            for i in range(n - sub):
-                self._datapoints.append((k, i))
+        if self.split_path is not None:
+            self._datapoints = self._load_split(self.split_path)
+        else:
+            # full split (re10k_dataset.py:_full_split:82-93): one window
+            # per frame except the last; end-of-sequence windows clamp to
+            # the final frame in __getitem__
+            self._datapoints = []
+            for k, v in self._seq_data.items():
+                n = len(v["timestamps"])
+                if n < sub:
+                    continue
+                for i in range(n - 1):
+                    self._datapoints.append((k, i))
+
+    def _get_id_from_timestamp(self, seq, timestamp):
+        """Row index of a (millisecond or microsecond) timestamp
+        (re10k_dataset.py:_get_id_from_timestamp:96-99)."""
+        ts = np.asarray(self._seq_data[seq]["timestamps"])
+        hit = np.where(
+            ((ts / 1000).astype(np.int64) == int(timestamp))
+            | (ts.astype(np.int64) == int(timestamp))
+        )[0]
+        return int(hit[0])
+
+    def _load_split(self, split_path):
+        """Split-file lines `seq t0 t1` -> (seq, (id0, id1)) frame-PAIR
+        datapoints (re10k_dataset.py:_load_split:102-115)."""
+        dps = []
+        with open(split_path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                seq, t0, t1 = parts[0], parts[1], parts[2]
+                if seq not in self._seq_data:
+                    continue
+                dps.append(
+                    (seq, (self._get_id_from_timestamp(seq, t0),
+                           self._get_id_from_timestamp(seq, t1)))
+                )
+        return dps
 
     def __len__(self):
         return len(self._datapoints)
 
     def _frame_path(self, seq, timestamp):
-        return Path(self.data_root) / "frames_720" / self.split / seq / f"{int(timestamp)}.jpg"
+        # frames are named by MILLISECOND timestamp; the pickled metadata
+        # stores microseconds (re10k_dataset.py:load_images:124 divides
+        # by 1000)
+        return Path(self.data_root) / "frames_720" / self.split / seq / f"{int(timestamp) // 1000}.jpg"
 
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
         import cv2
@@ -99,7 +142,14 @@ class RealEstate10kDataset:
 
         seq, i0 = self._datapoints[index]
         data = self._seq_data[seq]
-        ids = [i0 + j * self.dilation for j in range(self.frame_count)]
+        n = len(data["timestamps"])
+        if isinstance(i0, tuple):
+            # split-file datapoint: the exact evaluation frame pair
+            ids = list(i0)
+        else:
+            # keyframe-first window, clamped at the sequence end
+            # (re10k_dataset.py:_index_to_seq_ids:156-168)
+            ids = [min(max(i0 + j * self.dilation, 0), n - 1) for j in range(self.frame_count)]
 
         imgs, poses, projs = [], [], []
         for i in ids:

@@ -92,8 +92,13 @@ class SSCBenchDataset:
         poses = [self._poses[seq][pose_idx] @ T["00"]]
         projs = [self._calibs["K_perspective"]]
         if self.load_fisheye:
-            fid = frame_id + self.fisheye_offset
+            # image id AND pose from the SAME pose-row index (like
+            # datasets/kitti_360.py): offsetting the raw frame number
+            # separately would pair a fisheye image with a pose from a
+            # different location wherever the pose table is sparse; the
+            # clamp also guards the end of the sequence
             fid_idx = min(pose_idx + self.fisheye_offset, len(self._poses[seq]) - 1)
+            fid = int(self._img_ids[seq][fid_idx])
             imgs += [
                 self._image(seq, "02", fid, self._resampler_02),
                 self._image(seq, "03", fid, self._resampler_03),

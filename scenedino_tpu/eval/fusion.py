@@ -164,7 +164,11 @@ def extract_surface_points(
     """Observed voxels within one voxel of the `level` crossing — the same
     zero-level surface the reference meshes (get_point_cloud:366-384).
     Returns (points (N, 3) world, colors (N, 3) uint8)."""
-    band = band if band is not None else cfg.voxel_size
+    # default band = "one voxel": in classic-TSDF mode (truncation set)
+    # the stored values are normalized to [-1, 1], so a meter-unit band
+    # must be rescaled by the truncation distance
+    if band is None:
+        band = cfg.voxel_size if cfg.truncation is None else cfg.voxel_size / cfg.truncation
     tsdf = np.asarray(state.tsdf)
     w = np.asarray(state.weight)
     mask = (w > 0) & (np.abs(tsdf - level) <= band)
@@ -181,7 +185,8 @@ def save_surface_ply(path: str, state: TSDFState, cfg: TSDFVolumeConfig, level: 
 
     tsdf = np.asarray(state.tsdf)
     w = np.asarray(state.weight)
-    occ = (w > 0) & (np.abs(tsdf - level) <= cfg.voxel_size)
+    band = cfg.voxel_size if cfg.truncation is None else cfg.voxel_size / cfg.truncation
+    occ = (w > 0) & (np.abs(tsdf - level) <= band)
     colors = np.asarray(state.color).clip(0, 255) / 255.0  # voxel_io wants [0,1]
     save_as_voxel_ply(
         path, occ, origin=cfg.origin, voxel_size=cfg.voxel_size, colors=colors
