@@ -176,11 +176,18 @@ def run_stage1(config, sweep_trial=None):
     from scenedino_tpu.utils.prefetch import device_prefetch
 
     num_workers = config.get("num_workers", 4)
+    # ONE iterator factory for the whole run: its RandomState persists
+    # across it() calls, so every epoch gets a fresh permutation (building
+    # it inside data_iter would reset the shuffle to the same order each
+    # epoch); seeded from the run seed like the reference DataLoader
+    batches = batch_iterator(
+        train_ds, batch_size, key_seed=config.get("seed", 0), num_workers=num_workers
+    )
 
     def data_iter():
         host = (
             {k: v for k, v in b.items() if k in ("imgs", "poses", "projs")}
-            for b in batch_iterator(train_ds, batch_size, num_workers=num_workers)()
+            for b in batches()
         )
         # keep 2 sharded batches resident on device ahead of the step
         yield from device_prefetch(
@@ -267,10 +274,20 @@ def run_stage2(config, sweep_trial=None):
     if resume_from:
         latest = find_latest_checkpoint(resume_from) or resume_from
         restored = load_checkpoint(latest)
-        # stage-1 checkpoints store {"params": ...} inside a TrainState
+        # accepted layouts: a stage-1 TrainState ({"params": {module...}}),
+        # or a bare variables tree ({"params": {...}} as written by
+        # run_stage2's field_params snapshot / the converter)
         fp = restored.get("params", restored)
         if "params" in fp:
             field_params = {"params": fp["params"]}
+        elif "encoder" in fp or any(k.startswith("heads_") for k in fp):
+            field_params = {"params": fp}
+        else:
+            raise ValueError(
+                f"resume_from={latest!r}: unrecognized checkpoint layout "
+                f"(top-level keys {sorted(restored)[:6]}); refusing to "
+                "train the downstream head against random field params"
+            )
 
     from scenedino_tpu.models.downstream import RingBufferState
 
@@ -319,8 +336,19 @@ def run_stage2(config, sweep_trial=None):
     mesh = make_data_mesh(batch_size)
     state = jax.device_put(state, replicated(mesh))
     field_params = jax.device_put(field_params, replicated(mesh))
+    # honor training.loss overrides (configs/training/loss/semantic.yaml
+    # weights/shifts/pointwise); defaults match the shipped YAML
+    from scenedino_tpu.losses.stego import StegoLossConfig
+
+    lconf = config.get("training", {}).get("loss", {}) or {}
+    loss_cfg = StegoLossConfig(**{
+        k: lconf[k] for k in (
+            "random_weight", "knn_weight", "self_weight",
+            "random_shift", "knn_shift", "self_shift", "pointwise",
+        ) if k in lconf
+    })
     step = make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
-                                      donate=True)
+                                      loss_cfg=loss_cfg, donate=True)
     from scenedino_tpu.utils.jax_setup import save_run_config
 
     out_path = config.get("output", {}).get("path", "out/semantic")
@@ -343,18 +371,24 @@ def run_stage2(config, sweep_trial=None):
         checkpoint_every=config.get("training", {}).get("checkpoint_every", 5000),
         log_every=config.get("training", {}).get("log_every", 100),
         stop_iteration=config.get("training", {}).get("stop_iteration"),
+        # training.continue auto-resume, same as stage 1 (base_trainer parity)
+        resume=config.get("training", {}).get("continue", False),
         profile_start=config.get("training", {}).get("profile_start"),
         profile_stop=config.get("training", {}).get("profile_stop"),
     )
 
     from scenedino_tpu.utils.prefetch import device_prefetch
 
+    # persistent factory: per-epoch reshuffle + config seed (see run_stage1)
+    batches = batch_iterator(
+        train_ds, batch_size, key_seed=config.get("seed", 0),
+        num_workers=config.get("num_workers", 4),
+    )
+
     def data_iter():
         host = (
             {k: v for k, v in b.items() if k in ("imgs", "poses", "projs", "segs")}
-            for b in batch_iterator(
-                train_ds, batch_size, num_workers=config.get("num_workers", 4)
-            )()
+            for b in batches()
         )
         yield from device_prefetch(
             host, buffer_size=2,

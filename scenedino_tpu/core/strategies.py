@@ -29,7 +29,12 @@ def default_encoder_sampler():
 
 def kitti_360_full_encoder_sampler(num_encoder_frames: int, always_use_base_frame: bool = True):
     """Random subset of frames, optionally pinning frame 0
-    (sampling_strategies.py:21-37)."""
+    (sampling_strategies.py:21-37).
+
+    Reference-exact quirk: with always_use_base_frame=False the draw is
+    `randperm(num_frames - 1) + 1` — frame 0 is UNREACHABLE and asking for
+    num_encoder_frames == num_frames yields one fewer frame, exactly as in
+    the reference (only the default=True branch ships)."""
 
     def fn(key, num_frames: int):
         perm = jax.random.permutation(key, jnp.arange(1, num_frames))

@@ -42,7 +42,11 @@ def _resize_bilinear(x, size: Tuple[int, int], align_corners: bool):
         top = g(y0, x0) * (1 - wx) + g(y0, x1) * wx
         bot = g(y1, x0) * (1 - wx) + g(y1, x1) * wx
         return top * (1 - wy) + bot * wy
-    return jax.image.resize(x, (B, nh, nw, C), method="bilinear")
+    # exact F.interpolate(align_corners=False, antialias=False) twin —
+    # jax.image.resize would antialias a downscale (see core/resize.py)
+    from scenedino_tpu.core.resize import torch_interpolate
+
+    return torch_interpolate(x, (nh, nw), mode="bilinear")
 
 
 class PreActResidualConvUnit(nn.Module):
@@ -71,6 +75,11 @@ class FeatureFusionBlock(nn.Module):
     def __call__(self, x, res=None):
         C = x.shape[-1]
         if res is not None:
+            assert self.with_unit1, (
+                "FeatureFusionBlock built with with_unit1=False (fusion_0) "
+                "must not receive a skip input — unit1 params would be "
+                "created and change the checkpoint tree"
+            )
             if res.shape[1:3] != x.shape[1:3]:
                 res = _resize_bilinear(res, x.shape[1:3], align_corners=False)
             x = x + PreActResidualConvUnit(dtype=self.dtype, name="res_conv_unit1")(res)

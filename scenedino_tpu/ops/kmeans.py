@@ -66,8 +66,10 @@ def kmeans_cosine_assign(features, centers):
 
 def kmeans_cosine_update(features, labels, centers, update_factor=1.0, min_count=0):
     """One Lloyd step on the unit sphere (KMeansIterHead, :428-458):
-    new center = normalize(mean of members), EMA-blended by update_factor,
-    skipped for clusters below min_count members."""
+    new center = normalize(mean of members), EMA-blended by update_factor.
+    Clusters with counts <= min_count are frozen — STRICT >, matching the
+    reference's `class_labels_count > reassignment_threshold`
+    (semantic_head.py:452)."""
     K, D = centers.shape
     nf = _norm(features)
     one_hot = jax.nn.one_hot(labels, K, dtype=nf.dtype)  # (N, K)

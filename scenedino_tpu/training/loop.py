@@ -231,6 +231,9 @@ def fit(
             t0 = time.perf_counter()
             for batch in data_iter_fn():
                 t_data += time.perf_counter() - t0
+                # restart the clock so t_step measures only the step +
+                # bookkeeping, disjoint from the data fetch above
+                t0 = time.perf_counter()
                 if cfg.profile_start is not None and it == cfg.profile_start and not profiling:
                     jax.profiler.start_trace(os.path.join(cfg.output_path, "profile"))
                     profiling = True
