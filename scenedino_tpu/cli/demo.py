@@ -128,7 +128,6 @@ def main():
     import jax.numpy as jnp
 
     from scenedino_tpu.models.field import SceneField
-    from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, load_checkpoint
 
     field = build_model(variant=args.variant)
     img = load_image(args.image)
@@ -137,14 +136,9 @@ def main():
     key = jax.random.PRNGKey(0)
     params = field.warmup_init(key, jnp.asarray(img), jnp.asarray(K), jnp.asarray(pose))
     if args.ckpt:
-        if args.ckpt.endswith(".pt"):
-            import torch
+        from scenedino_tpu.utils.checkpoint import load_model_variables
 
-            sd = torch.load(args.ckpt, map_location="cpu")["model"]
-            converted = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
-            params = {"params": converted["params"]}
-        else:
-            params = load_checkpoint(args.ckpt, target=params)
+        params = load_model_variables(args.ckpt)
 
     state = field.apply(
         params, jnp.asarray(img), jnp.asarray(K), jnp.asarray(pose),

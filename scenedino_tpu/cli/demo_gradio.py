@@ -111,12 +111,16 @@ def demo_run(
         start = {"Feature PCA 1-3": 0, "Feature PCA 4-6": 3, "Feature PCA 7-9": 6}[mode]
         panel = vis2d.get_dino_pca(dino768, from_dim=start)
     elif want_seg and field.downstream is not None:
-        # rendered 2D segmentation in the chosen mode (demo_gradio.py:49-85)
-        from scenedino_tpu.models.field import SceneField as _SF
-
+        # rendered 2D segmentation in the chosen mode (demo_gradio.py:49-85).
+        # dino768 is ALREADY expanded — run the downstream head directly
+        # (segment_features would re-apply the 64->768 expand_dim MLP and
+        # fail on the 768-d input, demo_utils/utils.py applies the head
+        # straight to the rendered features too)
         seg2d_lbl = np.asarray(
-            field.apply(params, jnp.asarray(dino768)[None], mode=seg_mode,
-                        method=_SF.segment_features)[1]
+            field.apply(
+                params, jnp.asarray(dino768), seg_mode,
+                method=lambda mdl, d, m: mdl.downstream(d, mode=m),
+            )
         ).reshape(*dino768.shape[:2])
         panel = vis2d.get_segmentation(seg2d_lbl)
     else:
@@ -127,7 +131,9 @@ def demo_run(
     occ = (np.asarray(sigma).reshape(grid_shape) > sigma_threshold)
     if want_seg and seg is not None:
         cls = np.clip(np.asarray(seg).reshape(grid_shape), 0, 18)
-        colors = TRAIN_CLASS_COLORS[cls].astype(np.float32) / 255.0
+        # TRAIN_CLASS_COLORS is already float [0,1] (labels.py divides by
+        # 255); dividing again would write a black PLY
+        colors = TRAIN_CLASS_COLORS[cls].astype(np.float32)
     else:
         feats = np.asarray(dino3d).reshape(-1, dino3d.shape[-1])
         pca = vis2d.get_dino_pca(feats.reshape(grid_shape[0], -1, feats.shape[-1]))
@@ -177,10 +183,6 @@ def main():  # pragma: no cover - needs gradio + checkpoint
 
     from scenedino_tpu.cli.demo import build_model, default_camera
     from scenedino_tpu.models.field import SceneField
-    from scenedino_tpu.utils.checkpoint import (
-        convert_scenedino_checkpoint,
-        load_checkpoint,
-    )
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
@@ -194,14 +196,10 @@ def main():  # pragma: no cover - needs gradio + checkpoint
     params = field.warmup_init(
         key, jnp.zeros((1, 1, 3, 192, 640)), jnp.asarray(K), jnp.asarray(pose)
     )
-    if args.ckpt.endswith(".pt"):
-        import torch
+    if args.ckpt:
+        from scenedino_tpu.utils.checkpoint import load_model_variables
 
-        sd = torch.load(args.ckpt, map_location="cpu")["model"]
-        converted = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
-        params = {"params": converted["params"]}
-    else:
-        params = load_checkpoint(args.ckpt, target=params)
+        params = load_model_variables(args.ckpt)
     build_interface(field, params).launch(share=args.share)
 
 

@@ -56,7 +56,7 @@ def main():
     from scenedino_tpu.eval.voxel_io import save_as_voxel_ply
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.utils import enable_compilation_cache
-    from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, load_checkpoint
+    from scenedino_tpu.utils.checkpoint import load_model_variables
 
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
@@ -72,21 +72,9 @@ def main():
         jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
     )
     variables = field.warmup_init(key, *dummy)
-    if args.ckpt.endswith(".pt"):
-        import torch
-
-        sd = torch.load(args.ckpt, map_location="cpu")["model"]
-        conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
-        # nest the converted state collection under the "state" KEY —
-        # spreading its contents at the top level would leave flax's
-        # "state" collection (pseudo_assignment) missing at apply time
-        variables = {"params": conv["params"], "state": conv.get("state", {})}
-    else:
-        # target-free restore: the converted-orbax layout (download_checkpoint)
-        # carries extra leaves (artifact_field) and may lack "state", which a
-        # structural target= restore would reject
-        restored = load_checkpoint(args.ckpt)
-        variables = {"params": restored["params"], "state": restored.get("state", {})}
+    # shared .pt-convert / orbax-restore path (state collection nested
+    # under "state", target-free restore) — utils/checkpoint.py
+    variables = load_model_variables(args.ckpt)
 
     vs = args.voxel_size
     calib = S.read_calib(args.calib)

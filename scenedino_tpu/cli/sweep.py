@@ -57,10 +57,13 @@ def draw(spec, rng: random.Random):
 
 class RandomSearchTrial:
     """optuna-trial protocol for the dependency-free backend: prune when
-    this trial's best score trails the median of completed trials."""
+    this trial's running best trails the median of prior trials' running
+    bests AT THE SAME STEP (MedianPruner semantics — comparing against
+    prior trials' FINAL scores would prune nearly every trial at its
+    first, still-low validation)."""
 
     def __init__(self, history):
-        self.history = history  # list of best scores of completed trials
+        self.history = history  # list of prior trials' report lists
         self.reports = []
 
     def report(self, value, step):
@@ -71,7 +74,15 @@ class RandomSearchTrial:
             return False
         import statistics
 
-        return self.reports[-1][1] < statistics.median(self.history)
+        step, value = self.reports[-1]
+        peers = []
+        for h in self.history:
+            vals = [v for s, v in h if s <= step]
+            if vals:
+                peers.append(max(vals))  # that trial's running best then
+        if len(peers) < 2:
+            return False
+        return value < statistics.median(peers)
 
     @property
     def best(self):
@@ -97,6 +108,8 @@ def run_sweep(spec: dict, backend: str = "random", seed: int = 0):
         config = copy.deepcopy(base)
         for k, v in overrides.items():
             set_by_path(config, k, v)
+        # which validator's best score ranks/prunes trials (spec `metric`)
+        set_by_path(config, "training.sweep_validator", spec.get("metric", "validation"))
         out = config.setdefault("output", {})
         out["path"] = f"{out.get('path', 'out/sweep')}/trial_{i:03d}"
         try:
@@ -156,8 +169,10 @@ def run_sweep(spec: dict, backend: str = "random", seed: int = 0):
         overrides = {k: draw(p, rng) for k, p in params.items()}
         trial = RandomSearchTrial(history)
         status = one_trial(i, trial, overrides)
-        if status == "complete":
-            history.append(trial.best)
+        # pruned trials' intermediates count toward the median too
+        # (optuna MedianPruner uses all prior trials' reports)
+        if trial.reports:
+            history.append(list(trial.reports))
         results.append({"trial": i, "status": status, "best": trial.best, **overrides})
         logger.info("trial %d %s best=%.5f %s", i, status, trial.best, overrides)
 

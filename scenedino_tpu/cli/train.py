@@ -215,7 +215,8 @@ def run_stage1(config, sweep_trial=None):
     )
     with jax.set_mesh(mesh):
         fit(state, step, data_iter, loop_cfg, key, validators=validators,
-            sweep_trial=sweep_trial)
+            sweep_trial=sweep_trial,
+            sweep_validator=tconf.get("sweep_validator", "validation"))
 
 
 def main():
@@ -407,6 +408,7 @@ def run_stage2(config, sweep_trial=None):
         validators=validators,
         update_model_fn=make_update_model_fn() if validators else None,
         sweep_trial=sweep_trial,
+        sweep_validator=config.get("training", {}).get("sweep_validator", "validation"),
     )
 
 

@@ -78,7 +78,7 @@ def _parse_object(child) -> Optional[Bbox3D]:
         name = child.find("label").text
         name = _STUFF_CLASSMAP.get(name, name)
         label = NAME2LABEL[name]
-        instance_id = 0
+        instance_id = -1  # stuff keeps the -1 sentinel (annotation.py:74/85)
     vertices, faces = _parse_vertices(child)
     return Bbox3D(
         vertices=vertices,

@@ -3,7 +3,7 @@
 Behavioral parity targets: `datasets/cityscapes/cityscapes_dataset.py`
 (resize (320, 640) bilinear + center-crop (192, 640), identity pose/proj,
 image in [-1, 1], target trainIds) and `datasets/bdd/bdd_dataset.py`
-(same geometry, BDD label ids remapped to the 19 train classes).
+(same geometry; BDD sem_seg masks already store the 19 trainIds).
 """
 from __future__ import annotations
 
@@ -93,16 +93,6 @@ class CityscapesSeg:
         img = load_eval_image(img_path, self.image_size)
         seg = load_eval_target(seg_path, self.image_size, id_map=map_id_to_train_id)
         return _identity_sample(img, seg, index)
-
-
-# BDD id -> the 19 train classes (bdd_dataset.py BDD_LABEL trainId column)
-_BDD_TRAIN = np.full(256, -1, np.int64)
-for _bdd_id, _train in [
-    (7, 0), (8, 1), (10, 2), (15, 3), (11, 4), (26, 5), (27, 6), (30, 7),
-    (35, 8), (33, 9), (29, 10), (19, 11), (20, 12), (24, 13), (32, 14),
-    (21, 15), (34, 16), (22, 17), (23, 18),
-]:
-    _BDD_TRAIN[_bdd_id] = _train
 
 
 @dataclasses.dataclass

@@ -60,7 +60,11 @@ def get_dino_pca(features: np.ndarray, fit_on: Optional[np.ndarray] = None, from
 
     flat = (fit_on if fit_on is not None else features).reshape(-1, features.shape[-1])
     state = fit_pca(flat, num_components=from_dim + 3)
-    rgb = np.asarray(transform_pca(state, features, from_dim=from_dim))
+    # norm=True: project the UNIT-normalized centered features — the
+    # reference visualizes with norm=True (trainer.py:301-303), which
+    # bounds the projection near [-1,1] so the *0.5+0.5 mapping below is
+    # meaningful; raw-scale projections would saturate the clip
+    rgb = np.asarray(transform_pca(state, features, norm=True, from_dim=from_dim))
     return np.clip(rgb * 0.5 + 0.5, 0, 1)
 
 
@@ -91,9 +95,12 @@ def get_alpha_profile(weights: np.ndarray) -> np.ndarray:
 
 
 def get_reconstruction_rmse(rgb: np.ndarray, rgb_gt: np.ndarray) -> np.ndarray:
-    """Per-pixel rgb RMSE heat map (vis_2d.py:99-118)."""
-    err = np.sqrt(np.mean((np.asarray(rgb) - np.asarray(rgb_gt)) ** 2, axis=-1))
-    return colormap(err / max(float(err.max()), 1e-6))
+    """Per-pixel rgb error heat map on the reference's ABSOLUTE scale
+    (vis_2d.py:113: mse/2 clamped to [0,1]) — per-frame max-rescaling
+    would make a near-perfect reconstruction look like full-range noise
+    and break comparability across steps."""
+    err = np.mean((np.asarray(rgb) - np.asarray(rgb_gt)) ** 2, axis=-1) / 2.0
+    return colormap(np.clip(err, 0.0, 1.0))
 
 
 def get_dino_cos_sim(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:

@@ -198,6 +198,7 @@ def fit(
     update_model_fn: Optional[Callable] = None,
     steps_per_epoch: Optional[int] = None,
     sweep_trial: Optional[Any] = None,
+    sweep_validator: str = "validation",
 ):
     """Run the training loop; returns the final state.
 
@@ -280,14 +281,14 @@ def fit(
                     state = run_validation(
                         state, it, validators, vkey, tb, cfg, best, update_model_fn
                     )
-                    v = validators.get("validation")
+                    v = validators.get(sweep_validator)
                     due = v is not None and it % (
                         getattr(v, "every", None) or cfg.validate_every
                     ) == 0
                     # report once per completed validation pass, matching the
                     # reference's run_validation hook (base_trainer.py:131-134)
-                    if sweep_trial is not None and due and "validation" in best:
-                        sweep_trial.report(best["validation"], it)
+                    if sweep_trial is not None and due and sweep_validator in best:
+                        sweep_trial.report(best[sweep_validator], it)
                         if sweep_trial.should_prune():
                             try:
                                 import optuna

@@ -40,6 +40,32 @@ def load_checkpoint(path: str, target=None):
     return ckptr.restore(path, target=target)
 
 
+def load_model_variables(ckpt_path: str):
+    """Full-model flax variables {"params": ..., "state": ...} from either
+    a published torch checkpoint (`.pt`, converted on the fly) or a
+    converted-orbax dir (cli/download_checkpoint.py output).
+
+    One shared implementation for the demo / evaluate / PLY CLIs: the
+    state COLLECTION nests under the "state" key (spreading its contents
+    at the top level would lose the k-means pseudo_assignment), and the
+    orbax restore is target-free (the converted layout carries an extra
+    artifact_field leaf a structural target would reject)."""
+    if ckpt_path.endswith(".pt"):
+        import torch
+
+        sd = torch.load(ckpt_path, map_location="cpu")
+        sd = sd.get("model", sd)
+        conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
+    else:
+        conv = load_checkpoint(ckpt_path)
+    if "params" not in conv:
+        raise ValueError(
+            f"{ckpt_path!r} does not look like a full-model checkpoint "
+            f"(top-level keys {sorted(conv)[:6]})"
+        )
+    return {"params": conv["params"], "state": conv.get("state", {}) or {}}
+
+
 # --------------------------------------------------------- torch import
 def _t(x):
     return np.asarray(x)

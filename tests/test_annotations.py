@@ -64,7 +64,7 @@ def test_parse_bbox_xml(tmp_path):
     np.testing.assert_allclose(car.vertices.mean(0), [0, 0, 10], atol=1e-9)
     stuff = boxes[3][0]
     assert stuff.name == "traffic sign" and stuff.semantic_id == 20
-    assert stuff.instance_id == 0
+    assert stuff.instance_id == -1  # stuff keeps -1 (annotation.py:74/85)
 
 
 def test_frustum_filter(tmp_path):

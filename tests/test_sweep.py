@@ -61,10 +61,25 @@ def test_run_sweep_random_backend(tmp_path, monkeypatch):
     )
 
 
-def test_random_search_trial_prunes_below_median():
-    t = RandomSearchTrial(history=[0.5, 0.7, 0.9])
+def test_random_search_trial_prunes_below_median_same_step():
+    """MedianPruner semantics: compare against peers' running bests AT THE
+    SAME STEP, not their final scores (final-score comparison would prune
+    nearly every trial at its first, still-low validation)."""
+    # peers: scores improve over steps; final bests are 0.5 / 0.7 / 0.9
+    history = [
+        [(1, 0.1), (2, 0.3), (3, 0.5)],
+        [(1, 0.3), (2, 0.5), (3, 0.7)],
+        [(1, 0.5), (2, 0.7), (3, 0.9)],
+    ]
+    # a 0.2 report at step 1 trails the step-1 median (0.3) -> pruned
+    t = RandomSearchTrial(history=history)
     t.report(0.2, 1)
     assert t.should_prune()
-    t2 = RandomSearchTrial(history=[0.5, 0.7, 0.9])
-    t2.report(0.8, 1)
+    # a 0.4 report at step 1 beats the step-1 median even though it is far
+    # below every FINAL best -> NOT pruned (the old bug pruned this)
+    t2 = RandomSearchTrial(history=history)
+    t2.report(0.4, 1)
     assert not t2.should_prune()
+    # at step 3 the same 0.4 trails the step-3 median (0.7) -> pruned
+    t2.report(0.4, 3)
+    assert t2.should_prune()
