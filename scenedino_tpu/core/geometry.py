@@ -117,8 +117,11 @@ def estimate_frustum_overlap(
 
 
 def mask_mean(t: jnp.ndarray, m: jnp.ndarray, axis=None, keepdims=False, eps=1e-6):
-    """Mean of `t` where mask `m` is true (array_operations.py:39-47)."""
-    m = m.astype(t.dtype)
-    num = jnp.sum(t * m, axis=axis, keepdims=keepdims)
-    den = jnp.sum(m, axis=axis, keepdims=keepdims)
+    """Mean of `t` where EXCLUSION mask `m` is True-to-drop — the
+    reference convention (array_operations.py:39-47 zeroes t[m] and
+    divides by the count of non-masked elements); callers ported from
+    reference code pass invalid/ignore masks directly."""
+    keep = 1.0 - m.astype(t.dtype)
+    num = jnp.sum(t * keep, axis=axis, keepdims=keepdims)
+    den = jnp.sum(keep, axis=axis, keepdims=keepdims)
     return num / jnp.maximum(den, eps)

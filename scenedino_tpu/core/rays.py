@@ -27,14 +27,32 @@ def unproj_map(width, height, f, c=None, norm_dir=True, xy_offset=None, dtype=jn
     """
     f = jnp.atleast_1d(jnp.asarray(f, dtype))
     if f.ndim == 1:
-        f = jnp.broadcast_to(f[None], (1, 2)) if f.shape[0] == 2 else jnp.full((1, 2), f[0], dtype)
+        if f.shape[0] == 2:
+            f = jnp.broadcast_to(f[None], (1, 2))  # (fx, fy) for one camera
+        elif f.shape[0] == 1:
+            f = jnp.full((1, 2), f[0], dtype)
+        else:
+            # a (N,)-vector of per-camera scalar focals is ambiguous with
+            # (fx, fy); silently taking f[0] for every camera (the old
+            # behavior) produced wrong rays — require explicit (N, 2)
+            raise ValueError(
+                f"ambiguous focal shape {f.shape}: pass (N, 2) for "
+                "per-camera focals (the reference util.py raises here too)"
+            )
     n = f.shape[0]
     if c is None:
         c = jnp.zeros((n, 2), dtype)
     else:
         c = jnp.atleast_1d(jnp.asarray(c, dtype))
         if c.ndim == 1:
-            c = jnp.broadcast_to(c[None], (1, 2)) if c.shape[0] == 2 else jnp.full((1, 2), c[0], dtype)
+            if c.shape[0] == 2:
+                c = jnp.broadcast_to(c[None], (1, 2))
+            elif c.shape[0] == 1:
+                c = jnp.full((1, 2), c[0], dtype)
+            else:
+                raise ValueError(
+                    f"ambiguous principal-point shape {c.shape}: pass (N, 2)"
+                )
 
     pw = 2.0 / width
     ph = 2.0 / height

@@ -9,12 +9,16 @@ Behavioral parity target: `scenedino/downstream_head/crf.py` (dense_crf:21)
 TPU redesign: pydensecrf's permutohedral-lattice filtering is a
 CPU-specific data structure; on TPU we run the mean-field updates with a
 truncated-window message pass (ConvCRF, Teichmann & Cipolla 2018): each
-pixel aggregates from a (2R+1)^2 window of dilated taps covering the
-sigma_xy=20 support, with the SAME Gaussian x bilateral weights. The
-spatial kernel's sigma of 0.3 px decays below 1e-3 beyond 1 px, so its
-exact support is inside the window too. Static shapes, shift-and-
-accumulate message passing — XLA fuses each iteration into a handful of
-fused elementwise kernels; no gathers anywhere.
+pixel aggregates from a (2R+1)^2 window of dilated taps (default
+radius=10 x dilation=4 = +/-40 px, two sigma of the sigma_xy=20
+bilateral kernel), with each kernel SYMMETRICALLY NORMALIZED
+(D^-1/2 K D^-1/2, pydensecrf's default NORMALIZE_SYMMETRIC) before the
+Potts compatibility weight — without the normalization the ~450-tap sum
+reaches O(100) and drowns the unary. The spatial kernel's sigma of
+0.3 px decays below 1e-3 beyond 1 px, so its exact support is inside the
+window too. Static shapes, shift-and-accumulate message passing; an
+APPROXIMATION of the lattice filter (truncated + dilated taps), not a
+bit-exact twin. Static shapes, no gathers.
 """
 from __future__ import annotations
 
@@ -60,7 +64,7 @@ def dense_crf(
     image: jnp.ndarray,  # (H, W, 3) float in [0, 1]
     logits: jnp.ndarray,  # (H, W, C)
     n_iter: int = MAX_ITER,
-    radius: int = 5,
+    radius: int = 10,
     dilation: int = 4,
 ):
     """Mean-field CRF refinement. Returns refined probabilities (H, W, C)."""
@@ -71,23 +75,34 @@ def dense_crf(
     offs = _offsets(radius, dilation)
     H, W, _ = image.shape
     ones = jnp.ones((H, W, 1), jnp.float32)
-    weights = []
+    k_bi, k_pos = [], []
     for dy, dx in offs:
         col = _shift(img255, dy, dx)
         valid = _shift(ones, dy, dx)[..., 0]
         d_rgb = jnp.sum((img255 - col) ** 2, -1)
         d_xy = float(dy * dy + dx * dx)
-        w = BI_W * jnp.exp(-d_xy / (2 * BI_XY_STD**2) - d_rgb / (2 * BI_RGB_STD**2))
-        w_pos = POS_W * math.exp(-d_xy / (2 * POS_XY_STD**2))
-        if w_pos > 1e-12:
-            w = w + w_pos
-        weights.append(w * valid)
-    weights = jnp.stack(weights)  # (K, H, W)
+        k_bi.append(
+            jnp.exp(-d_xy / (2 * BI_XY_STD**2) - d_rgb / (2 * BI_RGB_STD**2)) * valid
+        )
+        k_pos.append(math.exp(-d_xy / (2 * POS_XY_STD**2)) * valid)
+    k_bi = jnp.stack(k_bi)  # (K, H, W) unnormalized kernels
+    k_pos = jnp.stack(k_pos)
+    # symmetric normalization per kernel (pydensecrf NORMALIZE_SYMMETRIC:
+    # filter = D^-1/2 K D^-1/2 with D the per-pixel kernel row sum) keeps
+    # each filtered message at unit scale, so the Potts weights POS_W/BI_W
+    # balance against O(1) unary log-probs as in the reference
+    s_bi = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(k_bi, 0), 1e-6))  # (H, W)
+    s_pos = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(k_pos, 0), 1e-6))
 
     def body(q, _):
-        msg = jnp.zeros_like(q)
+        qb = q * s_bi[..., None]
+        qp = q * s_pos[..., None]
+        mb = jnp.zeros_like(q)
+        mp = jnp.zeros_like(q)
         for k, (dy, dx) in enumerate(offs):
-            msg = msg + weights[k][..., None] * _shift(q, dy, dx)
+            mb = mb + k_bi[k][..., None] * _shift(qb, dy, dx)
+            mp = mp + k_pos[k][..., None] * _shift(qp, dy, dx)
+        msg = BI_W * mb * s_bi[..., None] + POS_W * mp * s_pos[..., None]
         # Potts compatibility: reward agreement with the aggregated message
         return jax.nn.softmax(unary + msg, axis=-1), None
 

@@ -172,6 +172,42 @@ def seg_confusion_matrix(target, pred, n_gt, n_pred=None, ignore_index=-1):
     return counts.reshape(n_gt, n_pred).astype(jnp.int64)
 
 
+def ssim_skimage(pred: np.ndarray, gt: np.ndarray, data_range: float = 1.0, win_size: int = 7) -> float:
+    """Exact twin of `skimage.metrics.structural_similarity(pred, gt,
+    data_range=1, channel_axis=-1)` — the NVS metric the reference reports
+    (metrics.py:179-181). skimage is not installed here; this reproduces
+    its default path: per-channel 7x7 UNIFORM window, sample-covariance
+    correction NP/(NP-1), K1=0.01/K2=0.03, mean over the border-cropped
+    valid region. (losses/ssim.py's 3x3-gaussian monodepth kernel is a
+    LOSS, not this metric.)
+
+    pred/gt: (H, W, C) float."""
+    from scipy.ndimage import uniform_filter
+
+    pred = np.asarray(pred, np.float64)
+    gt = np.asarray(gt, np.float64)
+    K1, K2 = 0.01, 0.03
+    C1 = (K1 * data_range) ** 2
+    C2 = (K2 * data_range) ** 2
+    NP = win_size**2
+    cov_norm = NP / (NP - 1)
+    pad = (win_size - 1) // 2
+    vals = []
+    for ch in range(pred.shape[-1]):
+        x, y = pred[..., ch], gt[..., ch]
+        f = lambda im: uniform_filter(im, size=win_size)
+        ux, uy = f(x), f(y)
+        uxx, uyy, uxy = f(x * x), f(y * y), f(x * y)
+        vx = cov_norm * (uxx - ux * ux)
+        vy = cov_norm * (uyy - uy * uy)
+        vxy = cov_norm * (uxy - ux * uy)
+        S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+            (ux**2 + uy**2 + C1) * (vx + vy + C2)
+        )
+        vals.append(S[pad:-pad, pad:-pad].mean())
+    return float(np.mean(vals))
+
+
 def pseudo_label_assignment(confusion: np.ndarray) -> np.ndarray:
     """Pseudo class -> GT class map maximizing matched counts
     (reference PuLP ILP, metrics.py:431-456; see module docstring).

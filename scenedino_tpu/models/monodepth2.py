@@ -32,8 +32,11 @@ class ConvBlock(nn.Module):
 
 class FrozenBatchNorm(nn.Module):
     """Eval-mode BatchNorm: per-channel affine with stored running stats —
-    what torchvision weights expect (the reference always runs BN frozen in
-    this backbone). Converter maps weight/bias/running_mean/running_var."""
+    exact for CONVERTED torchvision/reference weights (inference + the
+    SSCBench S4C baseline eval). Training this backbone from scratch would
+    need live batch statistics (the reference's BN runs in train mode
+    then); that path is not implemented — stats stay at their converted
+    (or init) values. Converter maps weight/bias/running_mean/running_var."""
 
     eps: float = 1e-5
 
@@ -77,10 +80,10 @@ class ResnetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (B, H, W, 3) in [0, 1]; torchvision normalization baked in
-        mean = jnp.array([0.485, 0.456, 0.406])
-        std = jnp.array([0.229, 0.224, 0.225])
-        x = (x - mean) / std
+        # x: (B, H, W, 3) in [0, 1]; the reference normalizes UNIFORMLY
+        # with (x - 0.45) / 0.225 (monodepth2.py:124), NOT the per-channel
+        # torchvision stats — converted weights expect this exact shift
+        x = (x - 0.45) / 0.225
         feats = []
         h = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False, name="conv1")(x)
         h = FrozenBatchNorm(name="bn1")(h)

@@ -32,7 +32,6 @@ from scenedino_tpu.eval.metrics import (
     psnr,
     seg_confusion_matrix,
     seg_scores,
-    ssim_index,
 )
 
 logger = logging.getLogger("validation")
@@ -135,20 +134,23 @@ class SegmentationAccumulator:
                 self._sums[k] = m.copy()
 
     def compute(self) -> Dict[str, Any]:
+        # ONE implementation of assignment + fold + scoring lives in
+        # eval/metrics.evaluate_confusion; this just flattens its keys
+        from scenedino_tpu.eval.metrics import evaluate_confusion
+
         out: Dict[str, Any] = {}
         for key, conf in self._sums.items():
+            ev = evaluate_confusion(
+                conf, assign_pseudo=self.assign_pseudo,
+                weights=SEG_CLASS_WEIGHTS[: conf.shape[0]],
+            )
             if self.assign_pseudo:
-                assignment = pseudo_label_assignment(conf)
-                folded = apply_assignment(conf, assignment)
-                out[key + "_assignment"] = assignment
-            else:
-                folded = conf
-            scores = seg_scores(folded, SEG_CLASS_WEIGHTS[: folded.shape[0]])
-            out[key + "_per_class_iou"] = scores["per_class_iou"]
-            out[key + "_miou"] = scores["miou"]
-            out[key + "_weighted_miou"] = scores["weighted_miou"]
-            out[key + "_acc"] = scores["acc"]
-            out[key + "_confusion_matrix"] = folded
+                out[key + "_assignment"] = ev["assignment"]
+            out[key + "_per_class_iou"] = ev["per_class_iou"]
+            out[key + "_miou"] = ev["miou"]
+            out[key + "_weighted_miou"] = ev["weighted_miou"]
+            out[key + "_acc"] = ev["acc"]
+            out[key + "_confusion_matrix"] = ev["confusion_matrix"]
         return out
 
 
@@ -195,15 +197,22 @@ def compute_nvs_metrics(data, lpips_fn: Optional[Callable] = None) -> Dict[str, 
     x0, x1 = int(math.ceil(0.05 * w)), int(math.floor(0.95 * w))
     pred = pred[:, y0:y1, x0:x1]
     gt = gt[:, y0:y1, x0:x1]
+    from scenedino_tpu.eval.metrics import ssim_skimage
+
     p_nchw = jnp.asarray(pred.transpose(0, 3, 1, 2))
     g_nchw = jnp.asarray(gt.transpose(0, 3, 1, 2))
     out = {
         "psnr": float(psnr(jnp.asarray(pred), jnp.asarray(gt))),
-        "ssim": float(ssim_index(p_nchw, g_nchw)),
+        # the reference reports skimage structural_similarity (7x7 uniform
+        # window, metrics.py:179-181) — NOT the 3x3-gaussian SSIM loss
+        "ssim": float(ssim_skimage(pred[0], gt[0], data_range=1.0)),
     }
     if lpips_fn is not None:
-        # lpips expects [-1, 1] (normalize=False in metrics.py:185)
-        out["lpips"] = float(np.mean(np.asarray(lpips_fn(p_nchw * 2 - 1, g_nchw * 2 - 1))))
+        # bug-for-bug parity: the reference passes the [0,1] images RAW
+        # with normalize=False (metrics.py:185) — i.e. the frozen net sees
+        # [0,1] even though its scaling layer nominally expects [-1,1];
+        # remapping here would make the numbers incomparable
+        out["lpips"] = float(np.mean(np.asarray(lpips_fn(p_nchw, g_nchw))))
     return out
 
 

@@ -252,9 +252,11 @@ def test_geometry_frustum_overlap_and_mask_mean():
     shifted = transform_pts(pts, eye.at[:, 0, 3].set(1.0))
     np.testing.assert_allclose(np.asarray(shifted[..., 0]), np.asarray(pts[..., 0]) + 1.0, rtol=1e-6)
 
+    # m is the EXCLUSION mask (reference array_operations.py:39-47):
+    # entries with m=1 are dropped -> mean of (2, 4)
     t = jnp.asarray([1.0, 2.0, 3.0, 4.0])
     m = jnp.asarray([1, 0, 1, 0])
-    assert float(mask_mean(t, m)) == 2.0
+    assert float(mask_mean(t, m)) == 3.0
 
 
 def test_fisheye_camera_torch_parity():

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scenedino_tpu.eval import metrics as M
 from scenedino_tpu.eval import sscbench as S
@@ -157,3 +158,40 @@ def test_pseudo_assignment_forced_coverage():
     assert set(a) == {0, 1}
     # optimal: divert column 2 (regret 8-3=5 is the smallest loss)
     np.testing.assert_array_equal(a, [0, 0, 1])
+
+
+def test_ssim_skimage_twin():
+    """ssim_skimage matches an independent direct implementation of
+    skimage.metrics.structural_similarity's default path (7x7 uniform
+    window, sample covariance, border crop) and its closed-form limits."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(24, 30, 3).astype(np.float64)
+    assert M.ssim_skimage(x, x) == pytest.approx(1.0)
+
+    y = np.clip(x + 0.1 * rng.randn(24, 30, 3), 0, 1)
+
+    # independent reference: explicit sliding-window loop
+    def direct(a, b, win=7, R=1.0):
+        K1, K2 = 0.01, 0.03
+        C1, C2 = (K1 * R) ** 2, (K2 * R) ** 2
+        H, W, C = a.shape
+        pad = win // 2
+        vals = []
+        for ch in range(C):
+            ss = []
+            for i in range(pad, H - pad):
+                for j in range(pad, W - pad):
+                    wa = a[i - pad:i + pad + 1, j - pad:j + pad + 1, ch].ravel()
+                    wb = b[i - pad:i + pad + 1, j - pad:j + pad + 1, ch].ravel()
+                    ua, ub = wa.mean(), wb.mean()
+                    va = wa.var(ddof=1)
+                    vb = wb.var(ddof=1)
+                    vab = ((wa - ua) * (wb - ub)).sum() / (win * win - 1)
+                    ss.append(((2 * ua * ub + C1) * (2 * vab + C2))
+                              / ((ua**2 + ub**2 + C1) * (va + vb + C2)))
+            vals.append(np.mean(ss))
+        return float(np.mean(vals))
+
+    ours = M.ssim_skimage(x, y)
+    ref = direct(x, y)
+    assert ours == pytest.approx(ref, abs=2e-3)  # interior agrees; borders differ by filter padding
