@@ -85,7 +85,41 @@ def main():
             fs, cfg, novel_pose, projs[0, 0], H, W, jax.random.PRNGKey(0), n_coarse=K
         )
 
+    rays = H * W
+    baseline_imgs_per_sec = 2.0  # ESTIMATE: A100 torch single-image SSC fwd
+    detail = {
+        "baseline_note": "vs ESTIMATED 2.0 img/s A100 torch (no published number)",
+        "samples_per_ray": K,
+        "timing": "chained-in-jit device time (see utils/benchmarking.py)",
+        "device": str(jax.devices()[0]),
+    }
+
+    def emit(dt_headline):
+        """Print the (progressively enriched) one-line JSON after every
+        completed measurement: if a slow tunnel day kills the process
+        mid-bench, the last printed line is still a valid result for the
+        driver's tail-parse."""
+        print(
+            json.dumps(
+                {
+                    "metric": "novel_view_inference_rays_per_sec_per_chip",
+                    "value": round(rays / dt_headline, 1),
+                    "unit": "rays/s/chip",
+                    "vs_baseline": round(
+                        1.0 / dt_headline / baseline_imgs_per_sec, 3
+                    ),
+                    "detail": detail,
+                }
+            ),
+            flush=True,
+        )
+
     dt_novel = device_time(novel_step, params, imgs, projs, poses, iters=8)
+    detail["novel_view"] = {
+        "imgs_per_sec": round(1.0 / dt_novel, 3),
+        "ms_per_image": round(dt_novel * 1e3, 2),
+    }
+    emit(dt_novel)
 
     # render-only novel-view rate (prefolded state; the encode-once/
     # render-many serving pattern of the demo, NVS trajectories and the
@@ -102,6 +136,12 @@ def main():
         )
 
     dt_render_only = device_time(render_only_step, fs_t, iters=8)
+    detail["novel_view_render_only"] = {
+        "rays_per_sec": round(rays / dt_render_only, 1),
+        "ms_per_image": round(dt_render_only * 1e3, 2),
+        "note": "prefolded state; encode-once/render-many serving",
+    }
+    emit(dt_novel)
 
     # probe serving mode: two-pass empty-space skipping (render_novel_view_probe
     # — DIFFERENT sample placement than the reference's 32 uniform strata:
@@ -119,6 +159,17 @@ def main():
         )
 
     dt_probe = device_time(probe_step, params, imgs, projs, poses, iters=8)
+    detail["novel_view_probe_serving"] = {
+        "rays_per_sec": round(rays / dt_probe, 1),
+        "imgs_per_sec": round(1.0 / dt_probe, 3),
+        "ms_per_image": round(dt_probe * 1e3, 2),
+        "note": (
+            "encode + two-pass probe-guided render (empty-space "
+            "skipping; 16 strided-probe + 12 importance + 4 "
+            "uniform samples/ray vs the exact path's 32 uniform)"
+        ),
+    }
+    emit(dt_novel)
 
     def trajectory_step(params, imgs, projs, poses, salt):
         im = imgs + (salt * 1e-30).astype(imgs.dtype)
@@ -138,6 +189,12 @@ def main():
         return outs
 
     dt_traj = device_time(trajectory_step, params, imgs, projs, poses, iters=4)
+    detail["novel_view_trajectory_4"] = {
+        "rays_per_sec": round(4 * rays / dt_traj, 1),
+        "ms_per_view": round(dt_traj * 1e3 / 4, 2),
+        "note": "1 encode + 4 novel renders (NVS / PLY-sequence pattern)",
+    }
+    emit(dt_novel)
 
     def encview_step(params, imgs, projs, poses, salt):
         im = imgs + (salt * 1e-30).astype(imgs.dtype)
@@ -148,6 +205,12 @@ def main():
         return render_encode_view(fs, cfg, H, W, jax.random.PRNGKey(0), n_coarse=K)
 
     dt_enc = device_time(encview_step, params, imgs, projs, poses, iters=8)
+    detail["encode_view"] = {
+        "rays_per_sec": round(rays / dt_enc, 1),
+        "imgs_per_sec": round(1.0 / dt_enc, 3),
+        "ms_per_image": round(dt_enc * 1e3, 2),
+    }
+    emit(dt_novel)
 
     # SSC dense grid query: 256x256x32 voxels in coherent (z, x, y) order
     from scenedino_tpu.eval import sscbench as S
@@ -165,6 +228,8 @@ def main():
         return fast_query_fused(fs, cfg, p[0], segments=256)
 
     dt_ssc = device_time(ssc_step, fs0, pts, iters=6)
+    detail["ssc_2M_voxel_query_ms"] = round(dt_ssc * 1e3, 2)
+    emit(dt_novel)
 
     # stage-1 training step (fwd+bwd+adam, flagship shapes, batch 1) —
     # the production training cost alongside the serving numbers
@@ -202,57 +267,8 @@ def main():
     except Exception as e:  # keep the serving bench alive on train-side issues
         print(f"train-step bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
 
-    rays = H * W
-    baseline_imgs_per_sec = 2.0  # ESTIMATE: A100 torch single-image SSC fwd
-    print(
-        json.dumps(
-            {
-                "metric": "novel_view_inference_rays_per_sec_per_chip",
-                "value": round(rays / dt_novel, 1),
-                "unit": "rays/s/chip",
-                "vs_baseline": round(1.0 / dt_novel / baseline_imgs_per_sec, 3),
-                "detail": {
-                    "baseline_note": "vs ESTIMATED 2.0 img/s A100 torch (no published number)",
-                    "novel_view": {
-                        "imgs_per_sec": round(1.0 / dt_novel, 3),
-                        "ms_per_image": round(dt_novel * 1e3, 2),
-                    },
-                    "novel_view_render_only": {
-                        "rays_per_sec": round(rays / dt_render_only, 1),
-                        "ms_per_image": round(dt_render_only * 1e3, 2),
-                        "note": "prefolded state; encode-once/render-many serving",
-                    },
-                    "novel_view_probe_serving": {
-                        "rays_per_sec": round(rays / dt_probe, 1),
-                        "imgs_per_sec": round(1.0 / dt_probe, 3),
-                        "ms_per_image": round(dt_probe * 1e3, 2),
-                        "note": (
-                            "encode + two-pass probe-guided render (empty-space "
-                            "skipping; 16 strided-probe + 12 importance + 4 "
-                            "uniform samples/ray vs the exact path's 32 uniform)"
-                        ),
-                    },
-                    "novel_view_trajectory_4": {
-                        "rays_per_sec": round(4 * rays / dt_traj, 1),
-                        "ms_per_view": round(dt_traj * 1e3 / 4, 2),
-                        "note": "1 encode + 4 novel renders (NVS / PLY-sequence pattern)",
-                    },
-                    "encode_view": {
-                        "rays_per_sec": round(rays / dt_enc, 1),
-                        "imgs_per_sec": round(1.0 / dt_enc, 3),
-                        "ms_per_image": round(dt_enc * 1e3, 2),
-                    },
-                    "ssc_2M_voxel_query_ms": round(dt_ssc * 1e3, 2),
-                    "train_step_ms_batch1": (
-                        round(dt_train * 1e3, 2) if dt_train else None
-                    ),
-                    "samples_per_ray": K,
-                    "timing": "chained-in-jit device time (see utils/benchmarking.py)",
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    detail["train_step_ms_batch1"] = round(dt_train * 1e3, 2) if dt_train else None
+    emit(dt_novel)
 
 
 if __name__ == "__main__":
