@@ -201,6 +201,10 @@ def downstream_forward(
         and rcfg.noise_std == 0.0
         and not rcfg.white_bkgd
         and rcfg.render_mode == "volumetric"
+        # the folded path builds rays from the FIELD's z-range; fall back
+        # to the generic sampler when the training config differs (same
+        # guard as eval/seg2d.py)
+        and (cfg.z_near, cfg.z_far) == (field.cfg.z_near, field.cfg.z_far)
     )
     if fast:
         # fp32 fold: training-path numerics match the generic renderer
