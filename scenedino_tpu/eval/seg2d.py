@@ -67,7 +67,8 @@ class Seg2DEvaluator:
             fast = (
                 self.use_fast_render
                 and imgs.shape[0] == 1
-                and can_fold(field_params, self.field.cfg)
+                and can_fold(field_params, self.field.cfg,
+                             head_confs=self.field.head_confs)
                 # the folded path builds rays from the FIELD's z-range; an
                 # evaluator configured with a different range must use the
                 # generic sampler or the two paths would silently disagree

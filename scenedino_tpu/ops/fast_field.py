@@ -65,8 +65,17 @@ def build_fast_state(
     per-channel scale AFTER the bilinear blend (scaling commutes with the
     blend, so results are exact w.r.t. the quantized grid).
     """
-    if cfg.learn_empty:
-        raise ValueError("fast path requires learn_empty=False (shipped config)")
+    # refuse to fold structures the fast math does not implement: a deeper
+    # head (n_blocks>0) or split-head config would otherwise fold into a
+    # silently-wrong 2-layer MLP (the SSC/PLY CLIs call this without a
+    # separate can_fold check). beta/d_latent variants leave no param
+    # trace — guard those with can_fold(head_confs=...) at the call site.
+    if not can_fold(params, cfg, head_name):
+        raise ValueError(
+            "build_fast_state: head/config not foldable (needs the shipped "
+            "n_blocks=0 ResnetFC single head, sample_color + predict_dino, "
+            "learn_empty off) — use the generic renderer (--slow)"
+        )
     head = params["params"][head_name]
     k1 = jnp.asarray(head["lin_in"]["kernel"])  # (256+code, d_hidden)
     b1 = jnp.asarray(head["lin_in"]["bias"])
@@ -102,15 +111,36 @@ def build_fast_state(
     )
 
 
-def can_fold(params, cfg: FieldConfig, head_name: str = "heads_normal_head") -> bool:
+def can_fold(params, cfg: FieldConfig, head_name: str = "heads_normal_head",
+             head_confs=None) -> bool:
     """True when `build_fast_state`'s linear-fold applies: the shipped
     2-layer ResnetFC head (n_blocks=0 -> only lin_in/lin_out params),
-    learn_empty off, and normal_head as the ONLY prediction head — a
-    split_dino_heads config (field.py:249-252 concatenates normal_head +
-    dino_head columns) must fall back to the generic renderer, since the
-    fold only bakes the named head. Static (host-side) check."""
+    relu activation, no latent split, sampled colors, learn_empty off,
+    and normal_head as the ONLY prediction head — a split_dino_heads
+    config (field.py:249-252 concatenates normal_head + dino_head
+    columns) must fall back to the generic renderer, since the fold only
+    bakes the named head. Static (host-side) check.
+
+    head_confs: pass `field.head_confs` when available — beta > 0
+    (softplus activation) and d_latent > 0 (latent row mixing) leave NO
+    trace in the param tree but change the math the fold hardcodes."""
     if cfg.learn_empty:
         return False
+    # the fast paths modulate SAMPLED render-view colors and read the dino
+    # columns off the head output — both head-output layouts require
+    # sample_color + predict_dino (cfg.d_out == 1 + dino_dims)
+    if not (cfg.sample_color and cfg.predict_dino):
+        return False
+    if head_confs is not None:
+        short = head_name.removeprefix("heads_")
+        for name, conf in head_confs:
+            if name != short:
+                continue
+            args = dict(conf).get("args", {}) or {}
+            if dict(conf).get("type", "resnet") != "resnet":
+                return False
+            if args.get("beta", 0.0) > 0 or args.get("d_latent", 0) > 0:
+                return False
     p = params.get("params", {})
     extra_heads = [
         k for k in p if k.startswith("heads_") and k != head_name
@@ -186,7 +216,11 @@ def render_encode_view(
     )
     flat = r.reshape(-1, 8)
     # mirror render_rays' key split so both paths draw identical strata
-    k_coarse = jax.random.split(key, 4)[0]
+    # mirror render_rays' FIVE-way split (nerf.py:76 since the fine-key
+    # fix) and take the same k_coarse slot — relying on split(key, 4)[0]
+    # == split(key, 5)[0] is an implementation detail of partitionable
+    # threefry that the legacy flag can turn off
+    k_coarse = jax.random.split(key, 5)[0]
     z = S.sample_coarse(k_coarse, flat, n_coarse, lindisp)  # (HW, K)
 
     # camera-space depth of each sample: rays are unit-norm world dirs; the
@@ -237,8 +271,6 @@ def render_encode_view(
         g2d = g2d.astype(jnp.float32).reshape(height, 2, width, 2, -1).mean((1, 3)).astype(g2d.dtype)
     elif (Hg, Wg) != (height, width):
         # general ratio: true NDC gather at pixel centers (slow path)
-        from scenedino_tpu.core.rays import unproj_map as _um
-
         xs = jnp.linspace(-1 + 1 / width, 1 - 1 / width, width)
         ys = jnp.linspace(-1 + 1 / height, 1 - 1 / height, height)
         gx2, gy2 = jnp.meshgrid(xs, ys, indexing="xy")
@@ -266,6 +298,15 @@ def render_encode_view(
     depth = comp.depth.reshape(height, width)
     dino = C.weighted_reduce(comp.weights, out[..., 1:]).reshape(height, width, -1)
     rgb_map = fs.color_imgs[0, 0].astype(jnp.float32)  # (H, W, 3)
+    if rgb_map.shape[:2] != (height, width):
+        # the zero-gather rgb shortcut reads the color image at the render
+        # resolution; a mismatched render size must use the generic
+        # renderer (the feature branch above supports arbitrary ratios,
+        # the color modulation does not)
+        raise ValueError(
+            f"render_encode_view: color image {rgb_map.shape[:2]} != render "
+            f"size {(height, width)} — use the generic renderer"
+        )
     rgb = rgb_map * jnp.sum(comp.weights, -1).reshape(height, width)[..., None]
     return depth, dino, rgb
 
@@ -318,7 +359,11 @@ def render_novel_view(
     )
     flat = r.reshape(-1, 8)  # (R, 8) row-major target pixels
     # mirror render_rays' key split so both paths draw identical strata
-    k_coarse = jax.random.split(key, 4)[0]
+    # mirror render_rays' FIVE-way split (nerf.py:76 since the fine-key
+    # fix) and take the same k_coarse slot — relying on split(key, 4)[0]
+    # == split(key, 5)[0] is an implementation detail of partitionable
+    # threefry that the legacy flag can turn off
+    k_coarse = jax.random.split(key, 5)[0]
     z = S.sample_coarse(k_coarse, flat, K, lindisp)  # (R, K)
 
     pts = flat[:, None, :3] + z[..., None] * flat[:, None, 3:6]  # (R, K, 3)
@@ -448,7 +493,11 @@ def render_novel_view_fused(
         target_pose_c2w[None], target_k[None], width, height, cfg.z_near, cfg.z_far
     )
     flat = r.reshape(-1, 8)  # (R, 8) row-major target pixels
-    k_coarse = jax.random.split(key, 4)[0]
+    # mirror render_rays' FIVE-way split (nerf.py:76 since the fine-key
+    # fix) and take the same k_coarse slot — relying on split(key, 4)[0]
+    # == split(key, 5)[0] is an implementation detail of partitionable
+    # threefry that the legacy flag can turn off
+    k_coarse = jax.random.split(key, 5)[0]
     z = S.sample_coarse(k_coarse, flat, K, lindisp)  # (R, K)
 
     S_n = height // rows_per_seg
@@ -509,7 +558,11 @@ def render_novel_view_fused_sharded(
         target_pose_c2w[None], target_k[None], width, height, cfg.z_near, cfg.z_far
     )
     flat = r.reshape(-1, 8)
-    k_coarse = jax.random.split(key, 4)[0]
+    # mirror render_rays' FIVE-way split (nerf.py:76 since the fine-key
+    # fix) and take the same k_coarse slot — relying on split(key, 4)[0]
+    # == split(key, 5)[0] is an implementation detail of partitionable
+    # threefry that the legacy flag can turn off
+    k_coarse = jax.random.split(key, 5)[0]
     z = S.sample_coarse(k_coarse, flat, K, lindisp)
 
     S_n = height // rows_per_seg
@@ -792,7 +845,7 @@ def _fused_rows_body(
     z (rw, K)) -> (depth (rw,), dino (rw, D-1), rgb (rw, 3)). Shared by
     the single-device lax.map and the shard_map-sharded variant."""
     from scenedino_tpu.core import compositing as C
-    from scenedino_tpu.ops.tile_gather import _quad_weights
+    from scenedino_tpu.ops.tile_gather import bilinear_gather_packed_plain
 
     K = n_coarse
     rw = rows_per_seg * width
@@ -830,10 +883,7 @@ def _fused_rows_body(
             xy_c, _, _ = project(pts, crot, ctrans, cK)
             cx = (xy_c[:, 0] + 1.0) * 0.5 * Wc - 0.5
             cy = (xy_c[:, 1] + 1.0) * 0.5 * Hc - 0.5
-            cy0, cx0, w4 = _quad_weights(cx, cy, Hc, Wc)
-            rows = jnp.take(packed_rgb, cy0 * Wc + cx0, axis=0)
-            quads = rows.reshape(rows.shape[0], 4, -1)
-            rgb_s = jnp.sum(quads * w4[..., None].astype(rows.dtype), axis=1)
+            rgb_s = bilinear_gather_packed_plain(packed_rgb, Hc, Wc, cx, cy)
             rgb_k = rgb_s.reshape(rows_per_seg, K, width, 3).astype(jnp.float32)
             rgb_out = jnp.einsum("hwk,hkwd->hwd", w_hwk, rgb_k).reshape(rw, 3)
         else:
@@ -961,8 +1011,10 @@ def fast_query(
 
     xy_c, z_c, _, invalid_c = cameras.project_points(xyz, fs.color_w2c, fs.color_ks)
     colors = grid_sample.grid_sample_views_hwc(fs.color_imgs, xy_c, mode=cfg.color_interpolation)
-    Vr = colors.shape[1]
-    rgb = colors.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B, P, Vr * 3)
+    Vr, Cc = colors.shape[1], colors.shape[-1]
+    # Cc may exceed 3 when extra color channels ride along (uncertainty
+    # predictor, field.py:174-181) — mirror SceneField.__call__:276
+    rgb = colors.astype(jnp.float32).transpose(0, 2, 1, 3).reshape(B, P, Vr * Cc)
     inv_c = invalid_c[..., 0].transpose(0, 2, 1)
     invalid = (inv_c | jnp.all(inv_feat.astype(bool), axis=-1, keepdims=True)).astype(rgb.dtype)
     return rgb, invalid, sigma, dino

@@ -195,7 +195,7 @@ def downstream_forward(
 
     fast = (
         cfg.use_fast_render
-        and can_fold(field_params, field.cfg)
+        and can_fold(field_params, field.cfg, head_confs=field.head_confs)
         and rcfg.n_fine == 0
         and rcfg.n_fine_depth == 0
         and rcfg.noise_std == 0.0
