@@ -136,3 +136,29 @@ def test_device_prefetch_early_close_releases_worker():
     assert threading.active_count() <= before + 1
     # the worker stopped far short of the 100-item source
     assert len(produced) < 20, len(produced)
+
+
+def test_batch_iterator_reshuffles_across_epochs():
+    """One factory, many epochs: each it() call must draw a FRESH
+    permutation (the regression: rebuilding the factory per epoch reset
+    its RandomState, so all 50 epochs saw the identical batch order)."""
+    from scenedino_tpu.cli.train import batch_iterator
+
+    class Toy:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return {"i": i}
+
+    it = batch_iterator(Toy(), batch_size=3, key_seed=7, num_workers=1)
+    epoch1 = [tuple(b["i"].tolist()) for b in it()]
+    epoch2 = [tuple(b["i"].tolist()) for b in it()]
+    # same multiset of indices, different order with overwhelming probability
+    flat1 = sorted(i for b in epoch1 for i in b)
+    flat2 = sorted(i for b in epoch2 for i in b)
+    assert flat1 == flat2 == list(range(12))
+    assert epoch1 != epoch2
+    # a factory with a different seed draws a different first epoch
+    it_b = batch_iterator(Toy(), batch_size=3, key_seed=8, num_workers=1)
+    assert [tuple(b["i"].tolist()) for b in it_b()] != epoch1
