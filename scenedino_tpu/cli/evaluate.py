@@ -72,15 +72,18 @@ def main():
     ckpt = args.ckpt
     run_dir = ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
     if not ckpt.endswith(".pt") and os.path.isdir(ckpt):
-        ckpt = find_latest_checkpoint(ckpt) or ckpt
+        resolved = find_latest_checkpoint(ckpt)
+        if resolved:
+            ckpt = resolved
+        elif os.path.basename(ckpt).startswith("training_checkpoint_") or "_best_" in os.path.basename(ckpt):
+            # --ckpt pointed at a checkpoint DIR inside a run dir: the
+            # field_params snapshot lives in the PARENT run dir
+            run_dir = os.path.dirname(os.path.abspath(ckpt))
     if ckpt.endswith(".pt"):
-        import torch
+        # shared .pt-convert path (state collection nested under "state")
+        from scenedino_tpu.utils.checkpoint import load_model_variables
 
-        sd = torch.load(args.ckpt, map_location="cpu")["model"]
-        conv = convert_scenedino_checkpoint({k: v.numpy() for k, v in sd.items()})
-        # nest the converted state collection under the "state" KEY (flax
-        # collections), not spread at the top level
-        variables = {"params": conv["params"], "state": conv.get("state", {})}
+        variables = load_model_variables(ckpt)
         head_vars = {
             "params": variables["params"]["downstream"],
             "state": variables["state"].get("downstream", {}),
@@ -96,14 +99,30 @@ def main():
                 "state": restored["head_variables"].get("state", {}),
             }
             field_path = os.path.join(os.path.abspath(run_dir), "field_params")
-            if os.path.isdir(field_path):
-                restored_field = load_checkpoint(field_path)
-                variables = {**variables, "params": restored_field["params"]}
+            if not os.path.isdir(field_path):
+                # silently evaluating through random warmup-init field
+                # weights would report garbage mIoU with no hint why
+                raise FileNotFoundError(
+                    f"stage-2 checkpoint {ckpt!r} has no field_params "
+                    f"snapshot at {field_path!r} — point --ckpt at the run "
+                    "directory (run_stage2 writes field_params next to its "
+                    "checkpoints)"
+                )
+            restored_field = load_checkpoint(field_path)
+            variables = {**variables, "params": restored_field["params"]}
         else:
-            variables = load_checkpoint(ckpt, target=variables)
+            # full-model tree (converted-orbax or bare variables): assemble
+            # target-free — a structural target= restore rejects the
+            # converted layout's extra artifact_field leaf
+            if "params" not in restored:
+                raise ValueError(
+                    f"{ckpt!r}: unrecognized checkpoint layout "
+                    f"(top-level keys {sorted(restored)[:6]})"
+                )
+            variables = {"params": restored["params"], "state": restored.get("state", {}) or {}}
             head_vars = {
                 "params": variables["params"]["downstream"],
-                "state": variables.get("state", {}).get("downstream", {}),
+                "state": variables["state"].get("downstream", {}),
             }
     evaluator = Seg2DEvaluator(
         field=field, head=head, field_params=variables, head_variables=head_vars,

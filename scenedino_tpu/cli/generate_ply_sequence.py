@@ -64,16 +64,10 @@ def main():
     dataset = SSCBenchDataset(data_path=args.data, voxel_gt_path=None)
     field = build_model(variant=args.variant)
 
-    key = jax.random.PRNGKey(0)
-    H, W = 192, 640
-    dummy = (
-        jnp.zeros((1, 1, 3, H, W)),
-        jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
-        jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
-    )
-    variables = field.warmup_init(key, *dummy)
     # shared .pt-convert / orbax-restore path (state collection nested
-    # under "state", target-free restore) — utils/checkpoint.py
+    # under "state", target-free restore) — utils/checkpoint.py. No
+    # warmup_init needed: the restore is target-free, and the warmup
+    # compile costs minutes over the tunneled TPU.
     variables = load_model_variables(args.ckpt)
 
     vs = args.voxel_size
@@ -104,13 +98,15 @@ def main():
 
 
     n_pts = pts.shape[0]
+    # pad the grid up to a whole number of fixed-size chunks (tail points
+    # land behind the camera at the first voxel center and are sliced off)
+    # — halving the chunk until it divides n_pts degenerates to a chunk of
+    # 2 for grids with small 2-adic factors (e.g. --voxel-size 0.25)
     chunk = 128 * 128 * 32
-    while n_pts % chunk:
-        chunk //= 2
-    # fused fast path needs the per-block point count divisible by segments
+    pad = (-n_pts) % chunk
+    if pad:
+        pts_j = jnp.concatenate([pts_j, jnp.broadcast_to(pts_j[:1], (pad, 3))], 0)
     segments = 64
-    while chunk % segments:
-        segments //= 2
     query_fn = make_query_fn(field, args.prediction_mode, fast,
                              segments=segments)
     predict = S.make_grid_predictor(
@@ -130,7 +126,7 @@ def main():
             jnp.asarray(sample["projs"])[None],
             jnp.asarray(sample["poses"])[None],
         )}
-        sigmas, segs = predict(pts_j, qstate)
+        sigmas, segs = predict(pts_j, qstate)  # grid-shaped; pad handled inside
         sigmas = np.asarray(sigmas)
         segs = np.asarray(segs)
         t_total += time.perf_counter() - t0
@@ -144,10 +140,20 @@ def main():
         for size in args.sizes:
             nv = int(size / vs)
             half = grid_dim[1] // 2
-            sl = np.s_[:nv, half - nv // 2 : half + nv // 2, :]
+            y0 = half - nv // 2
+            sl = np.s_[:nv, y0 : y0 + nv, :]
+            # the cropped sub-grid's world origin shifts by the crop start
+            # along each axis (evaluate_model_sscbench.py:447-463 rebuilds
+            # crop-local coordinates per size); reusing the full-grid
+            # origin would misplace the 12.8/25.6 exports ~19 m sideways
+            origin = (
+                S.VOX_ORIGIN[0],
+                S.VOX_ORIGIN[1] + y0 * vs,
+                S.VOX_ORIGIN[2],
+            )
             path = os.path.join(args.out, str(int(size)), f"{int(i):06d}.ply")
             save_as_voxel_ply(
-                path, occupied[sl], origin=S.VOX_ORIGIN, voxel_size=vs,
+                path, occupied[sl], origin=origin, voxel_size=vs,
                 colors=colors[sl],
             )
         logging.info("frame %d (%d/%d) %.2f s/frame", i, count + 1, len(ids), t_total / (count + 1))

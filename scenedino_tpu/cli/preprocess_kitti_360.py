@@ -56,6 +56,10 @@ def run_resize(args):
         frame_count=1,
         return_stereo=True,
         return_fisheye=True,
+        # cache every frame's OWN fisheye views: the training-time offset
+        # (default 10..40) would key frame id's cache entry to the fisheye
+        # imagery of id+offset AND drop the last max(offset) frames
+        fisheye_offset=0,
         fisheye_rotation=rot,
         color_aug=False,
     )

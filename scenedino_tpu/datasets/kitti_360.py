@@ -300,6 +300,10 @@ class KITTI360Dataset:
     stereo_offset: Sequence[int] = (1,)
     color_aug: bool = False
     return_3d_bboxes: bool = False
+    # read the preprocess CLI's resize cache (data_<H>x<W>[/_<rot>]
+    # dirs, cli/preprocess_kitti_360.py) instead of resampling raw
+    # frames per sample (kitti_360_dataset.py:384-392 is_preprocessed)
+    is_preprocessed: bool = False
     seed: int = 0
 
     def __post_init__(self):
@@ -334,8 +338,14 @@ class KITTI360Dataset:
         )
         self._img_ids, self._poses = load_poses(self.pose_path, self._sequences)
         self._left_offset = ((self.frame_count - 1) // 2 + self.keyframe_offset) * self.dilation
-        self._perspective_folder = "data_rect"
-        self._fisheye_folder = "data_rgb"
+        if self.is_preprocessed:
+            H, W = self.target_image_size
+            r0, r1 = self.fisheye_rotation
+            self._perspective_folder = f"data_{H}x{W}"
+            self._fisheye_folder = f"data_{H}x{W}_{r0}x{r1}"
+        else:
+            self._perspective_folder = "data_rect"
+            self._fisheye_folder = "data_rgb"
         if self.split_path is not None:
             self._datapoints = self._load_split(self.split_path)
         else:
@@ -394,6 +404,8 @@ class KITTI360Dataset:
 
     def _load_and_process(self, seq, cam, img_id, resampler=None, color_aug_fn=None):
         img = _imread(self._img_path(seq, cam, img_id))
+        if self.is_preprocessed:
+            resampler = None  # cache already holds pinhole-resampled frames
         if resampler is not None:
             img = resampler.resample(img)
         elif img.shape[:2] != tuple(self.target_image_size):

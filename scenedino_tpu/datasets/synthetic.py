@@ -84,6 +84,9 @@ class SyntheticMultiViewDataset:
             boxes.append((center, size, color))
 
         imgs, poses = [], []
+        # stereo pairs only: an odd n_views would emit n_views-1 images
+        # but n_views intrinsics (silent mispairing downstream)
+        assert self.n_views % 2 == 0, "n_views must be even (stereo pairs)"
         V = self.n_views
         n_t = V // 2
         depth0 = seg0 = None

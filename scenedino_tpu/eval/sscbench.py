@@ -200,9 +200,15 @@ def make_grid_predictor(
 
     def predict(pts, qstate):
         N = pts.shape[0]
-        assert N % chunk_points == 0
+        base = X * Y * Z
+        # N may exceed the grid size: callers pad the point list up to a
+        # whole number of chunks (the tail is evaluated and discarded) —
+        # required when the grid has small 2-adic factors and no clean
+        # chunk divisor (cli/generate_ply_sequence.py --voxel-size)
+        assert N >= base and N % chunk_points == 0, (N, base, chunk_points)
         if coherent:
-            pts = pts.reshape(X, Y, Z, 3).transpose(2, 0, 1, 3).reshape(N, 3)
+            head = pts[:base].reshape(X, Y, Z, 3).transpose(2, 0, 1, 3).reshape(base, 3)
+            pts = jnp.concatenate([head, pts[base:]], 0) if N > base else head
         blocks = pts.reshape(-1, chunk_points, 3)
 
         def eval_block(block):
@@ -214,6 +220,8 @@ def make_grid_predictor(
             return sigma, jnp.argmax(weighted, -1)
 
         sigmas, segs = jax.lax.map(eval_block, blocks)
+        sigmas = sigmas.reshape(-1)[:base]
+        segs = segs.reshape(-1)[:base]
         if coherent:
             sigmas = sigmas.reshape(Z, X, Y).transpose(1, 2, 0)
             segs = segs.reshape(Z, X, Y).transpose(1, 2, 0)

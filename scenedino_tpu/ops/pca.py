@@ -74,6 +74,10 @@ def fit_transform_kmeans(key, features, n_clusters: int = 8, n_iters: int = 20):
     flat = features.reshape(-1, features.shape[-1])
     centers, labels, _ = kmeans_fit(key, flat, n_clusters, n_iters)
     frac = labels.astype(jnp.float32) / max(n_clusters - 1, 1)
-    color_idx = jnp.clip((frac * (len(TAB10) - 1)).astype(jnp.int32), 0, len(TAB10) - 1)
+    # matplotlib ListedColormap semantics (visualization.py:106:
+    # cmap(labels/(n-1))): index = clip(floor(x * N), 0, N-1)
+    color_idx = jnp.clip(
+        jnp.floor(frac * len(TAB10)).astype(jnp.int32), 0, len(TAB10) - 1
+    )
     colors = TAB10[color_idx]
     return colors.reshape(*features.shape[:-1], 3), centers

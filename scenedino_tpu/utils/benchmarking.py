@@ -44,6 +44,10 @@ def device_time(step_fn: Callable, *args, iters: int = 8, warmup_iters: int = 2)
     to a float input) so iterations stay distinct; it may ignore it only
     if its own inputs already differ per call.
     """
+    assert iters > warmup_iters, (
+        f"iters ({iters}) must exceed warmup_iters ({warmup_iters}) — the "
+        "rate comes from the slope between the two run lengths"
+    )
 
     @partial(jax.jit, static_argnames=("n",))
     def run(n, *a):
