@@ -1,0 +1,134 @@
+"""End-to-end KITTI-360 loader test on a synthetic on-disk tree: calib
+parsing/normalization, pose loading, fisheye MEI resampling, datapoint
+enumeration, and the preprocess-cache round trip (is_preprocessed mode).
+
+Geometry parity target: `scenedino/datasets/old_kitti_360.py` (the frame
+geometry IS the supervision signal, SURVEY.md §7 hard part 6)."""
+import numpy as np
+import pytest
+from PIL import Image
+
+SEQ = "2013_05_28_drive_0000_sync"
+RAW_P = (24, 48)  # raw perspective H, W
+RAW_F = (20, 40)  # raw fisheye H, W
+TGT = (16, 32)
+N_FRAMES = 12
+
+
+def _write_kv(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for k, v in rows:
+            f.write(k + ": " + " ".join(str(float(x)) for x in np.asarray(v).reshape(-1)) + "\n")
+
+
+def _img(rng, size):
+    return Image.fromarray((rng.rand(*size, 3) * 255).astype(np.uint8))
+
+
+@pytest.fixture
+def kitti_root(tmp_path):
+    rng = np.random.RandomState(0)
+    root = tmp_path / "kitti"
+    calib = root / "calibration"
+
+    T = np.eye(4)[:3]
+    _write_kv(calib / "calib_cam_to_pose.txt", [
+        ("image_00", T), ("image_01", np.hstack([np.eye(3), [[0.6], [0], [0]]])),
+        ("image_02", np.hstack([np.eye(3), [[-0.1], [0], [0]]])),
+        ("image_03", np.hstack([np.eye(3), [[0.7], [0], [0]]])),
+    ])
+    with open(calib / "calib_cam_to_velo.txt", "w") as f:
+        f.write(" ".join(str(float(x)) for x in np.eye(4)[:3].reshape(-1)) + "\n")
+
+    H, W = RAW_P
+    P = np.array([[30.0, 0, W / 2, 0], [0, 30.0, H / 2, 0], [0, 0, 1, 0]])
+    _write_kv(calib / "perspective.txt", [
+        ("P_rect_00", P), ("R_rect_00", np.eye(3)), ("R_rect_01", np.eye(3)),
+        ("S_rect_00", [W, H]),
+    ])
+
+    fh, fw = RAW_F
+    fish = (
+        "%YAML:1.0\n"
+        f"image_height: {fh}\nimage_width: {fw}\n"
+        "mirror_parameters: {xi: 2.0}\n"
+        "distortion_parameters: {k1: 0.0, k2: 0.0}\n"
+        f"projection_parameters: {{gamma1: {fw * 0.8}, gamma2: {fh * 0.8}, u0: {fw / 2}, v0: {fh / 2}}}\n"
+    )
+    (calib / "image_02.yaml").write_text(fish)
+    (calib / "image_03.yaml").write_text(fish)
+
+    for cam, folder, size in (
+        ("00", "data_rect", RAW_P), ("01", "data_rect", RAW_P),
+        ("02", "data_rgb", RAW_F), ("03", "data_rgb", RAW_F),
+    ):
+        d = root / "data_2d_raw" / SEQ / f"image_{cam}" / folder
+        d.mkdir(parents=True)
+        for i in range(N_FRAMES):
+            _img(rng, size).save(d / f"{i:010d}.png")
+
+    pose_dir = root / "data_poses" / SEQ
+    pose_dir.mkdir(parents=True)
+    rows = []
+    for i in range(N_FRAMES):
+        M = np.eye(4)
+        M[0, 3] = 0.5 * i  # drive along +x
+        rows.append([i] + list(M[:3].reshape(-1)))
+    np.savetxt(pose_dir / "poses.txt", np.asarray(rows))
+    return root
+
+
+def _make(root, **kw):
+    from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
+
+    return KITTI360Dataset(
+        data_path=str(root), pose_path=str(root / "data_poses"),
+        split_path=None, target_image_size=TGT, frame_count=2,
+        return_stereo=True, return_fisheye=True,
+        fisheye_rotation=(0, -15), **kw,
+    )
+
+
+def test_getitem_geometry_and_shapes(kitti_root):
+    ds = _make(kitti_root, fisheye_offset=2, stereo_offset=1)
+    # datapoints shrink by frame window + max fisheye offset, x2 for l/r
+    n_expected = N_FRAMES - 2 * 1 - 2
+    assert len(ds) == 2 * n_expected
+
+    out = ds[0]
+    V = 8  # 2 timesteps x (stereo pair + fisheye pair)
+    assert out["imgs"].shape == (V, 3, *TGT)
+    assert out["poses"].shape == (V, 4, 4)
+    assert out["projs"].shape == (V, 3, 3)
+    assert np.isfinite(out["imgs"]).all() and np.isfinite(out["poses"]).all()
+    assert out["imgs"].min() >= -1.0 and out["imgs"].max() <= 1.0
+    # cam-00 pose of frame 0 sits at x=0 (identity cam-to-pose, world x=0)
+    assert out["poses"][0][0, 3] == pytest.approx(0.0, abs=1e-5)
+    # second timestep: ids = [id] + window around id+stereo_offset
+    # EXCLUDING it (old_kitti_360.py:914-938) -> frame 2, x = 2 * 0.5
+    assert out["poses"][1][0, 3] == pytest.approx(1.0, abs=1e-5)
+    # normalized NDC intrinsics: |c| <= 1, positive focals
+    assert abs(out["projs"][0][0, 2]) <= 1.0 and out["projs"][0][0, 0] > 0
+
+
+def test_preprocess_cache_roundtrip(kitti_root):
+    """resize CLI writes per-frame caches keyed by the frame's OWN id;
+    is_preprocessed mode reads them back ~bit-equal (8-bit png quantization)."""
+    from scenedino_tpu.cli.preprocess_kitti_360 import main as pp_main
+
+    pp_main(["resize", "-d", str(kitti_root), "-r", str(TGT[0]), str(TGT[1]),
+             "-f", "0", "-15"])
+    cache = kitti_root / "data_2d_raw" / SEQ / "image_02" / f"data_{TGT[0]}x{TGT[1]}_0x-15"
+    cached = sorted(p.name for p in cache.glob("*.png"))
+    assert cached, "no fisheye cache written"
+    # frame 0's own fisheye view is cached under 0000000000.png
+    assert cached[0] == f"{0:010d}.png"
+
+    raw_ds = _make(kitti_root, fisheye_offset=0, stereo_offset=1)
+    pre_ds = _make(kitti_root, fisheye_offset=0, stereo_offset=1, is_preprocessed=True)
+    a = raw_ds[0]["imgs"]
+    b = pre_ds[0]["imgs"]
+    assert np.abs(a - b).max() < 2.5 / 255 * 2  # png 8-bit rounding in [-1,1]
+    # geometry identical
+    np.testing.assert_allclose(raw_ds[0]["poses"], pre_ds[0]["poses"], atol=1e-6)
