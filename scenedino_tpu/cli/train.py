@@ -120,7 +120,7 @@ def run_stage1(config, sweep_trial=None):
     sched = tconf.get("scheduler", {}) or {}
     tcfg = TrainConfig(
         lr=tconf.get("optimizer", {}).get("args", {}).get("lr", 1e-4),
-        scheduler_step=sched.get("step_size", 120000),
+        scheduler_step=sched.get("step_size", 100000),
         scheduler_gamma=sched.get("gamma", 0.1),
         ray_batch_size=rs.get("args", {}).get("ray_batch_size", 2048),
         patch_size=rs.get("args", {}).get("patch_size", 8),
@@ -131,6 +131,9 @@ def run_stage1(config, sweep_trial=None):
         flip_augmentation=config["model"].get("flip_augmentation", True),
         grid_shift_augmentation=config["model"].get("grid_shift_augmentation", True),
         gradient_accum_factor=config.get("gradient_accum_factor", 1),
+        loss_renderer_strategy=(
+            config["model"].get("loss_renderer_strategy", {}) or {}
+        ).get("name", "kitti_360"),
     )
     lcfg = ReconstructionLossConfig()
 
@@ -215,6 +218,7 @@ def run_stage1(config, sweep_trial=None):
     )
     with jax.set_mesh(mesh):
         fit(state, step, data_iter, loop_cfg, key, validators=validators,
+            steps_per_epoch=tconf.get("epoch_length"),
             sweep_trial=sweep_trial,
             sweep_validator=tconf.get("sweep_validator", "validation"))
 
@@ -294,10 +298,13 @@ def run_stage2(config, sweep_trial=None):
 
     H, W = config["dataset"].get("image_size", (192, 640))
     cfg = DownstreamTrainConfig(
-        lr=config.get("training", {}).get("optimizer", {}).get("args", {}).get("lr", 1e-3),
+        # reference top-level optimizer override: 5e-4
+        # (configs/train_semantic_kitti_360.yaml)
+        lr=config.get("training", {}).get("optimizer", {}).get("args", {}).get("lr", 5e-4),
         render_height=H, render_width=W,
         # crop sample capacity must match the head's ring-buffer row size
         n_samples=head_cfg.patch_sample_size,
+        sample_radius=config.get("model", {}).get("sample_radius_3d", 0.5),
         use_fast_render=config.get("training", {}).get("use_fast_render", True),
     )
     buffers0 = RingBufferState.create(head_cfg.buffer_size, head_cfg.patch_sample_size, head_cfg.input_dim)
@@ -407,6 +414,7 @@ def run_stage2(config, sweep_trial=None):
         state, step, data_iter, loop_cfg, key,
         validators=validators,
         update_model_fn=make_update_model_fn() if validators else None,
+        steps_per_epoch=config.get("training", {}).get("epoch_length"),
         sweep_trial=sweep_trial,
         sweep_validator=config.get("training", {}).get("sweep_validator", "validation"),
     )

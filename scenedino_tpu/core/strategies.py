@@ -112,6 +112,24 @@ def kitti_360_loss_sampler():
     return fn
 
 
+def alternate_loss_sampler():
+    """One coin for the whole sample: loss on the even frames and render
+    the odd ones with p=2/3, else swapped (sampling_strategies.py:199-207,
+    `if random.randint(0, 2)` — the truthy branch keeps evens as loss).
+    The RE10K recipe's strategy (train_scenedino_re10k.yaml
+    `loss_renderer_strategy: alternate`: RE10K samples are 4 consecutive
+    mono frames, not stereo pairs)."""
+
+    def fn(key, num_frames: int):
+        evens = jnp.arange(num_frames // 2, dtype=jnp.int32) * 2
+        coin = jax.random.randint(key, (), 0, 3) > 0
+        ids_loss = jnp.where(coin, evens, evens + 1)
+        ids_render = jnp.where(coin, evens + 1, evens)
+        return ids_loss, ids_render
+
+    return fn
+
+
 def get_loss_renderer_sampling(config: dict):
     """(sampling_strategies.py:211+)."""
     name = (config or {}).get("name")
@@ -122,4 +140,6 @@ def get_loss_renderer_sampling(config: dict):
         return stereo_view_loss_sampler(**args)
     if name in ("single_renderer", "single_view"):
         return single_view_loss_sampler(**args)
+    if name == "alternate":
+        return alternate_loss_sampler()
     return kitti_360_loss_sampler()

@@ -1,6 +1,7 @@
 """Dataset factory (scenedino/datasets/__init__.py:17-261 parity)."""
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 from scenedino_tpu.datasets.labels import (  # noqa: F401
@@ -20,6 +21,11 @@ def make_datasets(config: dict) -> Tuple:
     if kind in ("old_KITTI_360", "KITTI_360", "KITTI_360_v2"):
         from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
 
+        # the reference's old_KITTI_360 factory branch PINS the stereo
+        # offset: the `stereo_offsets=config.get(...)` line is commented out
+        # (scenedino/datasets/__init__.py:87,97), so the dataset default 0
+        # always applies. Honor a config override here but default to the
+        # reference's effective value.
         common = dict(
             data_path=config["data_path"],
             pose_path=config["pose_path"],
@@ -27,14 +33,40 @@ def make_datasets(config: dict) -> Tuple:
             frame_count=config.get("data_fc", config.get("frame_count", 2)),
             return_stereo=config.get("data_stereo", True),
             return_fisheye=config.get("data_fisheye", True),
+            return_segmentation=config.get(
+                "data_segmentation", config.get("return_segmentation", False)
+            ),
+            keyframe_offset=config.get("keyframe_offset", 0),
+            dilation=config.get("dilation", 1),
             fisheye_rotation=config.get("fisheye_rotation", (0, -15)),
             fisheye_offset=config.get("fisheye_offset", (10,)),
-            stereo_offset=config.get("stereo_offset", (1,)),
+            stereo_offset=config.get("stereo_offset", 0),
             color_aug=config.get("color_aug", False),
+            is_preprocessed=config.get("is_preprocessed", False),
             return_3d_bboxes=config.get("data_3d_bboxes", config.get("return_3d_bboxes", False)),
         )
-        train = KITTI360Dataset(split_path=config.get("split_path"), **common)
-        test = KITTI360Dataset(split_path=config.get("test_split_path"), **{**common, "color_aug": False})
+        # split_path semantics match the reference factory
+        # (scenedino/datasets/__init__.py:67-72): a DIRECTORY means
+        # {train,test}_files.txt inside it; a file path is used as-is
+        # (with test_split_path for the test instance).
+        split_path = config.get("split_path")
+        test_split_path = config.get("test_split_path")
+        if split_path is not None and os.path.isdir(split_path):
+            if test_split_path is None:
+                test_split_path = os.path.join(split_path, "test_files.txt")
+            split_path = os.path.join(split_path, "train_files.txt")
+        train = KITTI360Dataset(split_path=split_path, **common)
+        # test instance parity (scenedino/datasets/__init__.py:91-107):
+        # depth GT on, fixed fisheye offset 10, no color aug
+        test = KITTI360Dataset(
+            split_path=test_split_path,
+            **{
+                **common,
+                "color_aug": False,
+                "return_depth": True,
+                "fisheye_offset": (10,),
+            },
+        )
         return train, test
     if kind in ("RealEstate10k", "re10k"):
         from scenedino_tpu.datasets.re10k import RealEstate10kDataset

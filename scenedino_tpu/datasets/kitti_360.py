@@ -297,7 +297,10 @@ class KITTI360Dataset:
     dilation: int = 1
     fisheye_rotation: Tuple[int, int] = (0, -15)
     fisheye_offset: Sequence[int] = (10,)
-    stereo_offset: Sequence[int] = (1,)
+    # reference class default stereo_offset=0 (old_kitti_360.py:102) — and
+    # the factory never overrides it (the kwarg is commented out there), so
+    # 0 is the value every shipped run trains with
+    stereo_offset: Sequence[int] = (0,)
     color_aug: bool = False
     return_3d_bboxes: bool = False
     # read the preprocess CLI's resize cache (data_<H>x<W>[/_<rot>]

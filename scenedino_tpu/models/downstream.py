@@ -233,7 +233,7 @@ class SemanticHeadConfig:
     code_dim: int = 64
     buffer_size: int = 256
     patch_sample_size: int = 576
-    knn_neighbors: int = 7
+    knn_neighbors: int = 4  # shipped value (configs/downstream/semantic.yaml)
     mode: str = "3d"  # "3d" surface crops | "2d" five-crop
     mlp_head: bool = False
     apply_crf: bool = False

@@ -38,7 +38,7 @@ class TrainConfig:
     lr: float = 1e-4
     encoder_lr_factor: float = 0.1  # ViT fine-tuned at lr/10 (trainer.py:562-574)
     scheduler_type: str = "step"  # "fix" | "step" (common/scheduler.py)
-    scheduler_step: int = 120000
+    scheduler_step: int = 100000  # configs/training/scheduler/scenedino.yaml
     scheduler_gamma: float = 0.1
     # optimizer steps every k micro-batches on the averaged gradient
     # (base_trainer.py:202,249-256 gradient_accum_factor)
@@ -60,6 +60,10 @@ class TrainConfig:
     # pixel-resolution teacher gt (upsample-gt configs, dino_upsampler.yaml:
     # ray_sampler dino_upscaled) — one gt vector per ray instead of per patch
     dino_upscaled: bool = False
+    # loss/render frame split: "kitti_360" (per-stereo-pair coin, the
+    # KITTI recipe) or "alternate" (one coin, even vs odd frames — the
+    # RE10K recipe, model.loss_renderer_strategy in the reference configs)
+    loss_renderer_strategy: str = "kitti_360"
 
 
 class TrainState(struct.PyTreeNode):
@@ -160,7 +164,12 @@ def stage1_forward(
     poses = to_base @ poses
 
     if training:
-        ids_loss, ids_render = sample_frame_split(k_split, V)
+        if cfg.loss_renderer_strategy == "alternate":
+            from scenedino_tpu.core.strategies import alternate_loss_sampler
+
+            ids_loss, ids_render = alternate_loss_sampler()(k_split, V)
+        else:
+            ids_loss, ids_render = sample_frame_split(k_split, V)
     else:
         n_pairs = V // 2
         ids_loss = jnp.arange(n_pairs, dtype=jnp.int32) * 2
