@@ -422,9 +422,12 @@ def stage1_eval_forward(
     B, V, _, H, W = imgs.shape
     to_base = jnp.linalg.inv(poses[:, :1].astype(jnp.float32))
     poses = to_base @ poses
-    n_pairs = V // 2
-    ids_loss = jnp.arange(n_pairs, dtype=jnp.int32) * 2
-    ids_render = ids_loss + 1
+    # eval split = the shipped eval_loss_renderer_strategy "single_renderer"
+    # with all_frames=true (model/dino_downsampler.yaml +
+    # sampling_strategies.py:89-101): metrics over ALL views, colors
+    # sampled from view 0 only
+    ids_loss = jnp.arange(V, dtype=jnp.int32)
+    ids_render = jnp.zeros((1,), jnp.int32)
 
     state = field.apply(
         params, imgs, projs, poses,
@@ -442,7 +445,7 @@ def stage1_eval_forward(
 
     out = render_rays_chunked(field_fn, rays[..., :8], key, rcfg, chunk=chunk)
     c = out["coarse"]
-    VL = n_pairs
+    VL = V
     depth = c["depth"].reshape(B, VL, H, W)
     Vr = c["rgb"].shape[-1] // 3
     rgb = c["rgb"].reshape(B, VL, H, W, Vr, 3)
