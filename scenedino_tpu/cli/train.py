@@ -106,6 +106,14 @@ def run_stage1(config, sweep_trial=None):
 
     enable_compilation_cache()
     train_ds, val_ds = make_datasets(config["dataset"])
+    # `with_amp: true` (reference train.py autocast) = bf16 compute dtype
+    # on TPU: params stay fp32, matmuls/activations run bf16 (and the ViT
+    # flash-attention kernel gates on bf16); pose math and compositing
+    # keep their fp32 islands regardless (SURVEY §2.7 AMP row)
+    if config.get("with_amp", False) and not config["model"].get("encoder", {}).get("dtype"):
+        # keep it a string: the saved training_config.yaml must stay
+        # plain-YAML round-trippable (the factory normalizes it)
+        config["model"]["encoder"]["dtype"] = "bfloat16"
     field = make_model(config["model"])
 
     rconf = config.get("renderer", {})
@@ -263,6 +271,9 @@ def run_stage2(config, sweep_trial=None):
 
     enable_compilation_cache()
     train_ds, val_ds = make_datasets(config["dataset"])
+    # with_amp => bf16 compute for the frozen field's encode (see run_stage1)
+    if config.get("with_amp", False) and not config.get("model", {}).get("encoder", {}).get("dtype"):
+        config.setdefault("model", {}).setdefault("encoder", {})["dtype"] = "bfloat16"
     field = make_model(config.get("model", {}))
 
     dconf = config.get("downstream", {})

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from scenedino_tpu.models.encoder import DinoModule, DinoModuleConfig
@@ -33,7 +34,8 @@ def encoder_config_from_dict(conf: Dict[str, Any]) -> DinoModuleConfig:
         image_size=tuple(conf.get("image_size", (192, 640))),
         key_features=conf.get("key_features", False),
         grad_checkpointing=conf.get("grad_checkpointing", False),
-        dtype=conf.get("dtype"),
+        # accept "bfloat16"/"float32" strings (YAML-saved run configs)
+        dtype=jnp.dtype(conf["dtype"]).type if isinstance(conf.get("dtype"), str) else conf.get("dtype"),
         vit_overrides=tuple(sorted(conf["vit_overrides"].items())) if conf.get("vit_overrides") else None,
     )
 

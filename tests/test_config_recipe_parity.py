@@ -213,6 +213,25 @@ def test_re10k_recipe():
     assert mine["batch_size"] == ref_top["batch_size"] == 4
 
 
+def test_with_amp_recipe():
+    """The reference trains with_amp: true (train.py autocast); on TPU
+    that maps to a bf16 encoder compute dtype (params fp32)."""
+    import jax.numpy as jnp
+
+    from scenedino_tpu.models.factory import encoder_config_from_dict
+
+    for cfg_name in (
+        "train_scenedino_kitti_360.yaml",
+        "train_semantic_kitti_360.yaml",
+        "train_scenedino_re10k.yaml",
+    ):
+        assert ours(cfg_name)["with_amp"] is True, cfg_name
+    assert ref("train_scenedino_kitti_360.yaml")["with_amp"] is True
+    # the YAML string round-trips to the jnp dtype in the factory
+    assert encoder_config_from_dict({"dtype": "bfloat16"}).dtype == jnp.bfloat16
+    assert encoder_config_from_dict({}).dtype is None
+
+
 def test_factory_honors_recipe_keys(tmp_path):
     """The shipped dataset keys must actually reach the dataset object:
     data_segmentation / is_preprocessed / dilation / split-dir semantics
