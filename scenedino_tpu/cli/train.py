@@ -73,7 +73,10 @@ def build_validators(config, stage: str, **kw):
     validators = {}
     for name, vconf in vconf_all.items():
         idx = subset_indices(vconf.get("subset"), len(val_ds), seed=config.get("seed", 0))
-        batches_fn = make_val_batches_fn(val_ds, idx, batch_size, keys)
+        # per-validator batch size, default 1 (get_dataflow,
+        # trainer.py:510-516) — independent of the train batch size
+        vbatch = vconf.get("batch_size", 1)
+        batches_fn = make_val_batches_fn(val_ds, idx, vbatch, keys)
         if stage == "nvs":
             validators[name] = make_stage1_validator(
                 name, vconf, kw["field"], kw["tcfg"], kw["rcfg"], batches_fn

@@ -443,6 +443,11 @@ def stage1_eval_forward(
     def field_fn(xyz, only_density=False):
         return field.apply(params, state, xyz, only_density=only_density)
 
+    # chunk must divide the ray count (static-shape lax.map tiles); snap
+    # to the largest common divisor so any (V, H, W) geometry works
+    import math
+
+    chunk = math.gcd(V * H * W, chunk)
     out = render_rays_chunked(field_fn, rays[..., :8], key, rcfg, chunk=chunk)
     c = out["coarse"]
     VL = V
