@@ -77,12 +77,16 @@ def inference_rendered_2d(field, params, state, image_size=(192, 640), n_coarse=
 
 
 def grid_axes(x_range=(-10, 10), y_range=(-5, 5), z_range=(0, 20), resolution=0.2):
-    """The exact demo grid axes (np.arange semantics) — callers needing the
-    grid SHAPE must use these lengths, not range/resolution arithmetic."""
-    xs = np.arange(x_range[0], x_range[1], resolution, dtype=np.float32)
-    ys = np.arange(y_range[0], y_range[1], resolution, dtype=np.float32)
-    zs = np.arange(z_range[0], z_range[1], resolution, dtype=np.float32)
-    return xs, ys, zs
+    """The exact demo grid axes — endpoint-INCLUSIVE linspace with
+    n = range/resolution + 1 points per axis (demo_utils/utils.py:167-174),
+    e.g. 101 x 51 x 101 at the defaults. Callers needing the grid SHAPE
+    must use these lengths, not range/resolution arithmetic."""
+
+    def axis(lo, hi):
+        n = int((hi - lo) / resolution) + 1
+        return np.linspace(lo, hi, n, dtype=np.float32)
+
+    return axis(*x_range), axis(*y_range), axis(*z_range)
 
 
 def inference_3d(field, params, state, x_range=(-10, 10), y_range=(-5, 5), z_range=(0, 20), resolution=0.2, mode="stego_kmeans"):

@@ -15,11 +15,13 @@ from __future__ import annotations
 import argparse
 import os
 
+# name -> HF-repo subdirectory: the published checkpoints live under
+# "seg-best-*" model-dirs, NOT under the user-facing names
+# (download_checkpoint.py:10-18 model_configs)
 CHECKPOINTS = {
-    "ssc-kitti-360-dino": {"variant": "dino"},
-    "ssc-kitti-360-dino-orb-slam": {"variant": "dino"},
-    "ssc-kitti-360-dinov2": {"variant": "dinov2"},
-    "seg-kitti-360-dino": {"variant": "dino"},
+    "ssc-kitti-360-dino": {"variant": "dino", "model_dir": "seg-best-dino"},
+    "ssc-kitti-360-dino-orb-slam": {"variant": "dino", "model_dir": "seg-best-dino-orb-slam"},
+    "ssc-kitti-360-dinov2": {"variant": "dinov2", "model_dir": "seg-best-dinov2"},
 }
 HF_REPO = "jev-aleks/SceneDINO"
 
@@ -36,9 +38,10 @@ def main():
         raise SystemExit("huggingface_hub is required to download checkpoints")
 
     os.makedirs(args.out, exist_ok=True)
-    ckpt_path = hf_hub_download(HF_REPO, f"{args.name}/checkpoint.pt", local_dir=args.out)
+    model_dir = CHECKPOINTS[args.name]["model_dir"]
+    ckpt_path = hf_hub_download(HF_REPO, f"{model_dir}/checkpoint.pt", local_dir=args.out)
     try:
-        hf_hub_download(HF_REPO, f"{args.name}/training_config.yaml", local_dir=args.out)
+        hf_hub_download(HF_REPO, f"{model_dir}/training_config.yaml", local_dir=args.out)
     except Exception:
         pass
 

@@ -18,7 +18,9 @@ import logging
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
-    ap.add_argument("--ckpt", required=True)
+    # optional like the reference's top-level `checkpoint:` config key
+    # (evaluate_semantic_*.yaml); --ckpt overrides it
+    ap.add_argument("--ckpt", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     args = ap.parse_args()
 
@@ -42,6 +44,10 @@ def main():
     from scenedino_tpu.utils.jax_setup import load_run_config
 
     config = load_run_config(args.config)
+    if args.ckpt is None:
+        args.ckpt = config.get("checkpoint")
+        if not args.ckpt:
+            ap.error("--ckpt required (or set `checkpoint:` in the config)")
 
     dataset = make_test_dataset(config["dataset"])
     H, W = config["dataset"].get("image_size", (192, 640))

@@ -68,17 +68,31 @@ def make_datasets(config: dict) -> Tuple:
             },
         )
         return train, test
-    if kind in ("RealEstate10k", "re10k"):
+    if kind in ("RealEstate10k", "RealEstate10K", "re10k"):
         from scenedino_tpu.datasets.re10k import RealEstate10kDataset
 
-        train = RealEstate10kDataset(
+        # directory split_path => train_files.txt / val_files.txt inside it
+        # (the RealEstate10K factory branch appends val_files.txt for the
+        # test instance, scenedino/datasets/__init__.py:163-180)
+        split_path = config.get("split_path")
+        test_split_path = config.get("test_split_path")
+        if split_path is not None and os.path.isdir(split_path):
+            if test_split_path is None:
+                test_split_path = os.path.join(split_path, "val_files.txt")
+            train_file = os.path.join(split_path, "train_files.txt")
+            # the shipped "mine" split dir carries only val/test lists —
+            # no train list means train on the full window set
+            split_path = train_file if os.path.isfile(train_file) else None
+        common = dict(
             data_path=config["data_path"],
-            split_path=config.get("split_path"),
             image_size=tuple(config.get("image_size", (256, 384))),
             frame_count=config.get("data_fc", 4),
             dilation=config.get("dilation", 3),
         )
-        return train, train
+        train = RealEstate10kDataset(split_path=split_path, **common)
+        if test_split_path is None:
+            return train, train
+        return train, RealEstate10kDataset(split_path=test_split_path, **common)
     if kind == "synthetic":
         from scenedino_tpu.datasets.synthetic import SyntheticMultiViewDataset
 
@@ -107,6 +121,35 @@ def make_test_dataset(config: dict):
 
         return SSCBenchDataset(
             data_path=config["data_path"], voxel_gt_path=config["voxel_gt_path"]
+        )
+    if kind in ("old_KITTI_360", "KITTI_360", "KITTI_360_v2"):
+        # unlike make_datasets' test instance (fisheye offset pinned to 10),
+        # the reference's make_test_dataset honors the config's
+        # fisheye_offset here (scenedino/datasets/__init__.py:220-240)
+        from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
+
+        split_path = config.get("split_path")
+        if split_path is not None and os.path.isdir(split_path):
+            split_path = os.path.join(split_path, "test_files.txt")
+        return KITTI360Dataset(
+            data_path=config["data_path"],
+            pose_path=config["pose_path"],
+            split_path=split_path,
+            target_image_size=tuple(config.get("image_size", (192, 640))),
+            frame_count=config.get("data_fc", config.get("frame_count", 2)),
+            return_stereo=config.get("data_stereo", True),
+            return_fisheye=config.get("data_fisheye", True),
+            return_depth=True,
+            return_segmentation=config.get(
+                "data_segmentation", config.get("return_segmentation", False)
+            ),
+            keyframe_offset=config.get("keyframe_offset", 0),
+            dilation=config.get("dilation", 1),
+            fisheye_rotation=config.get("fisheye_rotation", (0, -15)),
+            fisheye_offset=config.get("fisheye_offset", (1,)),
+            stereo_offset=config.get("stereo_offset", 0),
+            is_preprocessed=config.get("is_preprocessed", False),
+            return_3d_bboxes=config.get("data_3d_bboxes", config.get("return_3d_bboxes", False)),
         )
     _, test = make_datasets(config)
     return test

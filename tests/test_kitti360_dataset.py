@@ -132,3 +132,43 @@ def test_preprocess_cache_roundtrip(kitti_root):
     assert np.abs(a - b).max() < 2.5 / 255 * 2  # png 8-bit rounding in [-1,1]
     # geometry identical
     np.testing.assert_allclose(raw_ds[0]["poses"], pre_ds[0]["poses"], atol=1e-6)
+
+
+def test_factory_split_dir_and_test_instance(kitti_root):
+    """make_datasets maps the reference's factory semantics
+    (scenedino/datasets/__init__.py:66-107): directory split_path =>
+    {train,test}_files.txt, test instance gets depth GT + fisheye offset
+    pinned to 10, stereo offset defaults to the dataset default 0."""
+    from scenedino_tpu.datasets import make_datasets, make_test_dataset
+
+    splits = kitti_root / "splits"
+    splits.mkdir()
+    (splits / "train_files.txt").write_text(f"{SEQ} 0000000001 l\n{SEQ} 0000000002 r\n")
+    (splits / "test_files.txt").write_text(f"{SEQ} 0000000003 l\n")
+
+    config = {
+        "type": "old_KITTI_360",
+        "data_path": str(kitti_root),
+        "pose_path": str(kitti_root / "data_poses"),
+        "split_path": str(splits),
+        "image_size": TGT,
+        "data_fc": 2,
+        "data_segmentation": False,
+        "fisheye_rotation": [0, -15],
+        "fisheye_offset": [2, 3],
+        "dilation": 1,
+    }
+    train, test = make_datasets(config)
+    assert len(train) == 2 and len(test) == 1
+    assert train.stereo_offset == (0,)  # reference-pinned default
+    assert train.fisheye_offset == (2, 3)
+    assert test.fisheye_offset == (10,)  # pinned for the test instance
+    assert test.return_depth is True
+    assert train.return_depth is False
+
+    # make_test_dataset honors the config fisheye_offset instead
+    # (scenedino/datasets/__init__.py:220-240) and appends test_files.txt
+    td = make_test_dataset(config)
+    assert len(td) == 1
+    assert td.fisheye_offset == (2, 3)
+    assert td.return_depth is True
