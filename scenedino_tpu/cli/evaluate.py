@@ -22,6 +22,10 @@ def main():
     # (evaluate_semantic_*.yaml); --ckpt overrides it
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard eval frames over all devices (exact, frame-parallel)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -134,7 +138,10 @@ def main():
         field=field, head=head, field_params=variables, head_variables=head_vars,
         image_size=(H, W), n_classes=max(head.cfg.n_classes, head.cfg.gt_classes),
     )
-    results = evaluator.run(dataset, max_frames=args.max_frames)
+    if args.data_parallel and jax.device_count() > 1:
+        results = evaluator.run_sharded(dataset, max_frames=args.max_frames)
+    else:
+        results = evaluator.run(dataset, max_frames=args.max_frames)
     out = {}
     for mode, r in results.items():
         if isinstance(r, dict):

@@ -80,6 +80,8 @@ def main():
     ap.add_argument("--slow", action="store_true", help="use the unfolded full-field query path (reference semantics bit-path; ~10x slower)")
     ap.add_argument("--test-alpha-cutoffs", action="store_true",
                     help="per-class sigma-cutoff search + precision/recall tradeoff (TEST_ALPHA_CUTOFFS parity)")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard frames over all devices (exact, frame-parallel encode+query)")
     args = ap.parse_args()
 
     import jax
@@ -120,45 +122,84 @@ def main():
 
     fast = not args.slow
 
-    @jax.jit
-    def encode(variables, imgs, projs, poses):
+    def encode_fn(variables, imgs, projs, poses):
         poses = jnp.linalg.inv(poses[:, :1]) @ poses
         state = field.apply(
             variables, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
             method=SceneField.encode,
         )
         if fast:
-            return build_fast_state(variables, state, field.cfg)
-        return state
+            state = build_fast_state(variables, state, field.cfg)
+        return {"vars": variables, "state": state}
 
+    encode = jax.jit(encode_fn)
     query_fn = make_query_fn(field, args.prediction_mode, fast)
 
-    predict = S.make_grid_predictor(query_fn, coherent=fast)
     acc = S.SSCAccumulator()
     diag = S.SigmaDiagnostics() if args.test_alpha_cutoffs else None
 
     n = len(dataset) if args.max_frames is None else min(args.max_frames, len(dataset))
     t_total = 0.0
-    for i in range(n):
-        sample = dataset[i]
-        imgs = jnp.asarray(sample["imgs"])[None]
-        projs = jnp.asarray(sample["projs"])[None]
-        poses = jnp.asarray(sample["poses"])[None]
-        t0 = time.perf_counter()
-        qstate = {"vars": variables, "state": encode(variables, imgs, projs, poses)}
-        sigmas, segs = predict(pts_j, qstate)
-        sigmas = np.asarray(sigmas)
-        segs = np.asarray(segs)
-        t_total += time.perf_counter() - t0
-        acc.add_frame(sigmas, segs, sample["voxel_gt"], fov3)
-        if diag is not None:
-            diag.add_frame(sigmas, segs, sample["voxel_gt"], fov3)
-        if (i + 1) % 50 == 0:
-            part = acc.summarize()[51.2]
-            logging.info(
-                "frame %d/%d occIoU %.3f mIoU %.3f (%.2f s/frame)",
-                i + 1, n, part["occ_iou"], part["hungarian_miou"], t_total / (i + 1),
-            )
+    D = jax.device_count() if args.data_parallel else 1
+    if D > 1:
+        # frame-parallel: D frames shard over the mesh, each chip runs the
+        # full encode + 2M-voxel query on its own frame (exact)
+        from scenedino_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        D = int(mesh.devices.size)
+        predict_raw = S.make_grid_predictor(query_fn, coherent=fast, jit=False)
+
+        def sharded_encode(variables, imgs, projs, poses):
+            return encode_fn(variables, imgs, projs, poses)
+
+        step = S.make_sharded_frame_predictor(sharded_encode, predict_raw, mesh)
+        for g0 in range(0, n, D):
+            idxs = list(range(g0, min(g0 + D, n)))
+            samples = [dataset[i] for i in idxs]
+            pad = D - len(samples)
+            stacked = samples + [samples[-1]] * pad
+            imgs = jnp.asarray(np.stack([s["imgs"] for s in stacked]))
+            projs = jnp.asarray(np.stack([s["projs"] for s in stacked]))
+            poses = jnp.asarray(np.stack([s["poses"] for s in stacked]))
+            t0 = time.perf_counter()
+            sigmas_b, segs_b = step(variables, pts_j, imgs, projs, poses)
+            sigmas_b = np.asarray(sigmas_b)
+            segs_b = np.asarray(segs_b)
+            t_total += time.perf_counter() - t0
+            for j, i in enumerate(idxs):
+                acc.add_frame(sigmas_b[j], segs_b[j], samples[j]["voxel_gt"], fov3)
+                if diag is not None:
+                    diag.add_frame(sigmas_b[j], segs_b[j], samples[j]["voxel_gt"], fov3)
+                if (i + 1) % 50 == 0:
+                    part = acc.summarize()[51.2]
+                    logging.info(
+                        "frame %d/%d occIoU %.3f mIoU %.3f (%.2f s/frame)",
+                        i + 1, n, part["occ_iou"], part["hungarian_miou"],
+                        t_total / (i + 1),
+                    )
+    else:
+        predict = S.make_grid_predictor(query_fn, coherent=fast)
+        for i in range(n):
+            sample = dataset[i]
+            imgs = jnp.asarray(sample["imgs"])[None]
+            projs = jnp.asarray(sample["projs"])[None]
+            poses = jnp.asarray(sample["poses"])[None]
+            t0 = time.perf_counter()
+            qstate = encode(variables, imgs, projs, poses)
+            sigmas, segs = predict(pts_j, qstate)
+            sigmas = np.asarray(sigmas)
+            segs = np.asarray(segs)
+            t_total += time.perf_counter() - t0
+            acc.add_frame(sigmas, segs, sample["voxel_gt"], fov3)
+            if diag is not None:
+                diag.add_frame(sigmas, segs, sample["voxel_gt"], fov3)
+            if (i + 1) % 50 == 0:
+                part = acc.summarize()[51.2]
+                logging.info(
+                    "frame %d/%d occIoU %.3f mIoU %.3f (%.2f s/frame)",
+                    i + 1, n, part["occ_iou"], part["hungarian_miou"], t_total / (i + 1),
+                )
 
     results = acc.summarize()
     table = {

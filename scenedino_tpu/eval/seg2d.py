@@ -113,6 +113,7 @@ class Seg2DEvaluator:
             preds["depth"] = depth.reshape(H, W)
             return preds
 
+        self._predict_fn = predict
         self._predict = jax.jit(predict)
 
     @property
@@ -145,6 +146,96 @@ class Seg2DEvaluator:
         results = {}
         for m in self.result_modes:
             assign = "kmeans" in m  # cluster heads need pseudo matching
+            results[m] = evaluate_confusion(conf[m], assign_pseudo=assign)
+        results["n_frames"] = n
+        return results
+
+    def run_sharded(
+        self, dataset: Iterable, mesh=None, axis_name: str = "data",
+        max_frames: Optional[int] = None,
+    ) -> Dict:
+        """Frame-parallel evaluation over a device mesh (D frames/step).
+
+        The TPU-native counterpart of the reference's multi-GPU evaluator
+        (ignite `idist.auto_dataloader` rank splits + metric
+        `sync_all_reduce`, base_evaluator.py:24-213): frames shard over the
+        mesh's data axis with `shard_map` — each chip runs the identical
+        encode->render->head program on its own frame, ZERO collectives —
+        and the per-frame integer confusions come back to the host and
+        sum. Per-frame PRNG keys match `run()`'s, so the accumulated
+        confusion (hence every metric) is EXACTLY the sequential result;
+        a validity flag zeroes the padded tail of the last group.
+        """
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from scenedino_tpu.parallel.mesh import make_mesh
+
+        if mesh is None:
+            mesh = make_mesh()
+        D = int(mesh.devices.size)
+        modes = self.result_modes
+        predict = self._predict_fn
+        n_classes = self.n_classes
+
+        def body(fp, hv, imgs, projs, poses, seeds, targets, valid):
+            # local shard: ONE frame with its leading batch dim kept
+            preds = predict(fp, hv, imgs, projs, poses, jax.random.PRNGKey(seeds[0]))
+            return {
+                m: (seg_confusion_matrix(targets[0], preds[m], n_classes)
+                    * valid[0])[None]
+                for m in modes
+            }
+
+        d = P(axis_name)
+        step = jax.jit(
+            shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), d, d, d, d, d, d), out_specs=d,
+            )
+        )
+
+        conf = {m: np.zeros((n_classes, n_classes), np.int64) for m in modes}
+        n = 0
+        group: list = []
+
+        def flush(group):
+            n_real = len(group)
+            group = group + [group[-1]] * (D - n_real)  # padded tail
+            imgs, poses, projs, targets = (
+                np.stack([g[k] for g in group]) for k in range(4)
+            )
+            seeds = np.array([g[4] for g in group], np.int32)
+            valid = (np.arange(D) < n_real).astype(np.int32)
+            out = step(
+                self.field_params, self.head_variables,
+                jnp.asarray(imgs), jnp.asarray(projs), jnp.asarray(poses),
+                jnp.asarray(seeds), jnp.asarray(targets), jnp.asarray(valid),
+            )
+            for m in modes:
+                conf[m] += np.asarray(out[m]).sum(0).astype(np.int64)
+
+        for i, sample in enumerate(dataset):
+            if max_frames is not None and i >= max_frames:
+                break
+            group.append((
+                np.asarray(sample["imgs"]), np.asarray(sample["poses"]),
+                np.asarray(sample["projs"]),
+                np.asarray(sample["segs"][0], np.int32), i,
+            ))
+            n += 1
+            if len(group) == D:
+                flush(group)
+                group = []
+        if group:
+            flush(group)
+
+        results = {}
+        for m in modes:
+            assign = "kmeans" in m
             results[m] = evaluate_confusion(conf[m], assign_pseudo=assign)
         results["n_frames"] = n
         return results

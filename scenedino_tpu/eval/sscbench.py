@@ -178,6 +178,7 @@ def grow_sigmas(sigmas):
 def make_grid_predictor(
     query_fn, chunk_points=128 * 128 * 32, grow=True,
     grid_dim=(256, 256, 32), voxel_size=VOXEL_SIZE, coherent=True,
+    jit=True,
 ):
     """Build a jitted dense-grid predictor.
 
@@ -232,7 +233,46 @@ def make_grid_predictor(
             sigmas = grow_sigmas(sigmas)
         return sigmas, segs
 
-    return jax.jit(predict)
+    # jit=False returns the raw traceable fn for embedding into a larger
+    # program (e.g. the shard_map body of the frame-parallel evaluator)
+    return jax.jit(predict) if jit else predict
+
+
+def make_sharded_frame_predictor(encode_fn, predict_fn, mesh, axis_name="data"):
+    """Frame-parallel SSC grid prediction over a device mesh.
+
+    The reference evaluates SSCBench strictly one frame per GPU process;
+    here D frames shard over the mesh's data axis with `shard_map`: each
+    chip encodes ITS frame and queries the full voxel grid locally — zero
+    collectives, bit-identical per-frame results to the single-device
+    path (each shard runs the exact same program on the same inputs).
+
+    encode_fn(variables, imgs, projs, poses) -> qstate  (raw, unjitted;
+      sees the LOCAL shard, i.e. one frame with its leading dim kept)
+    predict_fn: `make_grid_predictor(..., jit=False)` raw fn.
+
+    Returns a jitted `step(variables, pts, imgs, projs, poses) ->
+    (sigmas (D, *grid_dim), segs (D, *grid_dim))` where every per-frame
+    arg carries a leading frame axis of size mesh.devices.size.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    d = P(axis_name)
+
+    def body(variables, pts, imgs, projs, poses):
+        qstate = encode_fn(variables, imgs, projs, poses)
+        sigmas, segs = predict_fn(pts, qstate)
+        return sigmas[None], segs[None]
+
+    return jax.jit(
+        shard_map(
+            body, mesh=mesh, in_specs=(P(), P(), d, d, d), out_specs=d,
+        )
+    )
 
 
 def compute_occupancy_numbers(y_pred, y_true, fov_mask):

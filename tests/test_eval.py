@@ -137,6 +137,51 @@ def test_grid_predictor_and_accumulator_perfect_prediction():
         assert out[size]["direct_per_class_iou"][6] > 0.95
 
 
+def test_sharded_frame_predictor_matches_sequential():
+    """Frame-parallel SSC prediction (shard_map over an 8-device mesh) is
+    bit-identical to the single-device grid predictor per frame, including
+    per-frame encode state (each frame sees a different scene height)."""
+    from scenedino_tpu.parallel.mesh import make_mesh
+
+    X, Y, Z = 16, 16, 8
+    base = X * Y * Z
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-5, 5, (base, 3)).astype(np.float32))
+
+    def query_fn(block, qstate):
+        h = qstate["state"]["h"]
+        sigma = jnp.where(block[0, :, 2] > h, 50.0, 0.0)
+        cls = qstate["state"]["cls"].astype(jnp.int32)
+        seg = jax.nn.one_hot(jnp.full((block.shape[1],), 0, jnp.int32) + cls, 19)
+        return sigma[None], seg[None]
+
+    def encode_fn(variables, imgs, projs, poses):
+        # "encoding" derives per-frame state from the frame input
+        return {"vars": variables, "state": {"h": imgs[0, 0], "cls": imgs[0, 1].astype(jnp.int32)}}
+
+    kw = dict(chunk_points=base // 4, grow=True, grid_dim=(X, Y, Z), coherent=True)
+    predict = S.make_grid_predictor(query_fn, **kw)
+    mesh = make_mesh(8)
+    step = S.make_sharded_frame_predictor(
+        encode_fn, S.make_grid_predictor(query_fn, jit=False, **kw), mesh
+    )
+
+    # per-frame scene: height threshold h and a class id, packed as "imgs"
+    frames = np.stack(
+        [np.array([h, c], np.float32) for h, c in
+         [(-2, 1), (-1, 2), (0, 3), (1, 4), (2, 5), (-3, 6), (3, 7), (0.5, 8)]]
+    )  # (8, 2)
+    dummy = jnp.zeros((8, 1))
+    sig_b, seg_b = step({}, pts, jnp.asarray(frames), dummy, dummy)
+
+    for j in range(8):
+        qstate = {"vars": {}, "state": {"h": jnp.asarray(frames[j, 0]),
+                                        "cls": jnp.asarray(frames[j, 1]).astype(jnp.int32)}}
+        sig, seg = predict(pts, qstate)
+        np.testing.assert_array_equal(np.asarray(sig_b[j]), np.asarray(sig))
+        np.testing.assert_array_equal(np.asarray(seg_b[j]), np.asarray(seg))
+
+
 def test_pseudo_assignment_oversegmentation_optimal():
     """Over-segmentation counterexample: argmax covers all GT rows and is
     optimal; a plain Hungarian on conf would sub-optimally force column 1

@@ -79,3 +79,50 @@ def test_seg2d_evaluator_both_paths():
         results[fast] = out
     # both paths produce valid accumulations over identical data
     assert results[True]["n_frames"] == results[False]["n_frames"]
+
+
+def test_run_sharded_matches_sequential():
+    """Frame-parallel evaluation over the 8-device mesh is EXACTLY the
+    sequential run: same per-frame keys, integer confusion accumulation,
+    padded tail of the last group zeroed (5 frames over 8 devices)."""
+    import jax
+
+    from scenedino_tpu.models.downstream import RingBufferState
+    from scenedino_tpu.parallel.mesh import make_mesh
+
+    field, head, variables, imgs, poses, projs = _setup()
+    key = jax.random.PRNGKey(1)
+    hcfg = head.cfg
+    buffers = RingBufferState.create(hcfg.buffer_size, hcfg.patch_sample_size, hcfg.input_dim)
+    hv = head.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((1, 1, H, W, 1, hcfg.input_dim)), buffers, key,
+        crop_features=jnp.zeros((5, hcfg.patch_sample_size, hcfg.input_dim)),
+        seg_target=jnp.zeros((1, H, W), jnp.int32),
+        method=type(head).forward_training,
+    )
+
+    rng = np.random.RandomState(3)
+    dataset = [
+        {
+            "imgs": rng.uniform(-1, 1, np.asarray(imgs[0]).shape).astype(np.float32),
+            "poses": np.asarray(poses[0]),
+            "projs": np.asarray(projs[0]),
+            "segs": rng.randint(0, 4, (1, H, W)),
+        }
+        for _ in range(5)
+    ]
+
+    ev = Seg2DEvaluator(
+        field=field, head=head, field_params=variables, head_variables=hv,
+        image_size=(H, W), n_coarse=8, chunk=H * W, n_classes=5,
+        modes=("stego_kmeans", "direct_kmeans"),
+    )
+    seq = ev.run(dataset)
+    par = ev.run_sharded(dataset, mesh=make_mesh(8))
+    assert par["n_frames"] == seq["n_frames"] == 5
+    for m in ("stego_kmeans", "direct_kmeans"):
+        for k in ("miou", "weighted_miou", "acc"):
+            np.testing.assert_allclose(par[m][k], seq[m][k], rtol=0, atol=0)
+        np.testing.assert_array_equal(par[m]["per_class_iou"], seq[m]["per_class_iou"])
+        np.testing.assert_array_equal(par[m]["confusion_matrix"], seq[m]["confusion_matrix"])
