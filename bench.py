@@ -143,6 +143,61 @@ def main():
     }
     emit(dt_novel)
 
+    # pipelined stream serving: ONE program per frame renders the previous
+    # frame's folded state while encoding the next (make_pipelined_stream_step)
+    # — steady-state video/NVS cost tends to max(encode, render) instead of
+    # encode + render; numerics exactly the two-call sequence (tested)
+    try:
+        import time as _time
+        from functools import partial as _partial
+
+        from scenedino_tpu.ops.fast_field import make_pipelined_stream_step
+
+        pipe_step = make_pipelined_stream_step(field, H, W, n_coarse=K)
+
+        @_partial(jax.jit, static_argnames=("n",))
+        def pipe_run(n, params, fs0, imgs, projs, poses):
+            def body(i, carry):
+                acc, fs = carry
+                im = imgs + (acc * 1e-30 + jnp.float32(i) * 1e-30).astype(imgs.dtype)
+                fs_next, (depth, dino, rgb) = pipe_step(
+                    params, fs, im, projs, poses, novel_pose, projs[0, 0],
+                    jax.random.PRNGKey(0),
+                )
+                # consume EVERY output or XLA dead-codes its compute
+                acc = (
+                    acc
+                    + jnp.sum(depth) * 1e-30
+                    + jnp.sum(dino.astype(jnp.float32)) * 1e-30
+                    + jnp.sum(rgb.astype(jnp.float32)) * 1e-30
+                )
+                return (acc, fs_next)
+
+            acc, fs = jax.lax.fori_loop(0, n, body, (jnp.float32(0), fs0))
+            # consume the LAST encode too, or its fs would dead-code away
+            return acc + jnp.sum(fs.folded_grid.astype(jnp.float32)) * 1e-30
+
+        def pipe_measure(n):
+            return float(pipe_run(n, params, fs_t, imgs, projs, poses))
+
+        pipe_measure(2)
+        pipe_measure(8)
+        t0 = _time.perf_counter(); pipe_measure(2); t_small = _time.perf_counter() - t0
+        t0 = _time.perf_counter(); pipe_measure(8); t_big = _time.perf_counter() - t0
+        dt_pipe = max(t_big - t_small, 1e-9) / 6
+        detail["novel_view_pipelined_stream"] = {
+            "rays_per_sec": round(rays / dt_pipe, 1),
+            "imgs_per_sec": round(1.0 / dt_pipe, 3),
+            "ms_per_frame": round(dt_pipe * 1e3, 2),
+            "note": (
+                "steady-state stream: render frame N-1 + encode frame N "
+                "fused in one program (incl. encode, unlike render_only)"
+            ),
+        }
+        emit(dt_novel)
+    except Exception as e:
+        print(f"pipelined-stream bench skipped: {type(e).__name__}: {e}", file=sys.stderr)
+
     # probe serving mode: two-pass empty-space skipping (render_novel_view_probe
     # — DIFFERENT sample placement than the reference's 32 uniform strata:
     # 16-probe sigma pass at 1/2 res + 12 importance + 4 uniform samples)

@@ -1018,3 +1018,61 @@ def fast_query(
     inv_c = invalid_c[..., 0].transpose(0, 2, 1)
     invalid = (inv_c | jnp.all(inv_feat.astype(bool), axis=-1, keepdims=True)).astype(rgb.dtype)
     return rgb, invalid, sigma, dino
+
+
+def make_pipelined_stream_step(
+    field,
+    height: int,
+    width: int,
+    n_coarse: int = 32,
+    lindisp: bool = True,
+    hard_alpha_cap: bool = True,
+    band: int = 64,
+    want_rgb: bool = True,
+    rows_per_seg: int = 4,
+    compute_dtype=jnp.bfloat16,
+):
+    """Software-pipelined video/NVS serving: ONE program per frame that
+    renders the PREVIOUS frame's prefolded state at a novel camera while
+    encoding the NEXT frame.
+
+    Why: the single-shot encode+render path runs the MXU-heavy ViT/DPT
+    encode strictly before the gather-bound render, so each phase leaves
+    the other's unit idle. In a frame STREAM the two are independent
+    (different frames), so fusing them into one jitted step lets XLA
+    interleave render gather waits with encode matmuls and drops one
+    host round-trip per frame; steady-state cost tends to
+    max(encode, render) instead of encode + render. Numerics are exactly
+    the two-call sequence (encode -> `build_fast_state`, then
+    `render_novel_view_fused`) — the fusion only reorders independent ops.
+
+    Returns a RAW step fn — jit it with params/state as real arguments
+    (closing big pytrees into the jit bakes them in as constants; see
+    `make_grid_predictor`):
+
+        step(params, fs_prev, imgs, projs, poses, target_pose, target_k,
+             key) -> (fs_next, (depth, dino, rgb))
+
+    Bootstrap `fs_prev` by encoding frame 0 outside the loop; step N's
+    render outputs correspond to the state passed in (frame N-1), and
+    `fs_next` feeds the next call. imgs/projs/poses are the NEXT frame's
+    (1, 1, ...) encode inputs; the rendered target camera is
+    (`target_pose` (4,4) cam2world, `target_k` (3,3) normalized K).
+    """
+    from scenedino_tpu.models.field import SceneField
+
+    cfg = field.cfg
+
+    def step(params, fs_prev, imgs, projs, poses, target_pose, target_k, key):
+        depth, dino, rgb = render_novel_view_fused(
+            fs_prev, cfg, target_pose, target_k, height, width, key,
+            n_coarse=n_coarse, lindisp=lindisp, hard_alpha_cap=hard_alpha_cap,
+            band=band, want_rgb=want_rgb, rows_per_seg=rows_per_seg,
+        )
+        state = field.apply(
+            params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode
+        )
+        fs_next = build_fast_state(params, state, cfg, compute_dtype=compute_dtype)
+        return fs_next, (depth, dino, rgb)
+
+    return step

@@ -406,3 +406,59 @@ def test_render_novel_view_fused_sharded_exact():
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(f0), np.asarray(f1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-6)
+
+
+def test_pipelined_stream_step_matches_two_call_sequence():
+    """make_pipelined_stream_step == encode/build_fast_state +
+    render_novel_view_fused called separately: same fs_next pytree, same
+    rendered frame (the fusion only merges independent programs)."""
+    from scenedino_tpu.ops.fast_field import (
+        make_pipelined_stream_step,
+        render_novel_view_fused,
+    )
+
+    cfg = FieldConfig(dino_dims=6)
+    enc = DinoDummyEncoder(size=(H, W), feat_dim=8, dino_dim=12, patch_size=4, dino_pca_dim=6)
+    field = SceneField(encoder=enc, cfg=cfg)
+
+    key = jax.random.PRNGKey(0)
+    imgs0 = jax.random.uniform(key, (1, 1, 3, H, W)) * 2 - 1
+    imgs1 = jax.random.uniform(jax.random.PRNGKey(5), (1, 1, 3, H, W)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[1.2, 0, 0], [0, 2.4, 0], [0, 0, 1.0]]), (1, 1, 3, 3)
+    )
+    params = field.init({"params": key, "augment": key}, imgs0, projs, poses, method=SceneField.warmup)
+
+    c, s = np.cos(0.05), np.sin(0.05)
+    tgt = jnp.asarray(np.array(
+        [[c, 0, s, 0.2], [0, 1, 0, -0.1], [-s, 0, c, 0.1], [0, 0, 0, 1]], np.float32))
+    tgt_k = projs[0, 0]
+    rkey = jax.random.PRNGKey(7)
+
+    def encode_fs(im):
+        st = field.apply(params, im, projs, poses, ids_encoder=(0,), method=SceneField.encode)
+        return build_fast_state(params, st, cfg, compute_dtype=jnp.float32)
+
+    with jax.default_matmul_precision("highest"):
+        fs0 = encode_fs(imgs0)
+        # reference: two-call sequence
+        ref_out = render_novel_view_fused(
+            fs0, cfg, tgt, tgt_k, H, W, rkey, n_coarse=8, band=8
+        )
+        ref_fs1 = encode_fs(imgs1)
+
+        step = make_pipelined_stream_step(
+            field, H, W, n_coarse=8, band=8, compute_dtype=jnp.float32
+        )
+        fs1, out = jax.jit(step)(params, fs0, imgs1, projs, poses, tgt, tgt_k, rkey)
+
+    # jit-vs-eager op fusion reassociates float reductions: allow ulp-level
+    # differences (the two-call reference runs op-by-op here on CPU)
+    for a, b in zip(out, ref_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+    for a, b in zip(fs1, ref_fs1):
+        if a is None or b is None:
+            assert a is None and b is None
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
