@@ -82,6 +82,9 @@ def main():
                     help="per-class sigma-cutoff search + precision/recall tradeoff (TEST_ALPHA_CUTOFFS parity)")
     ap.add_argument("--data-parallel", action="store_true",
                     help="shard frames over all devices (exact, frame-parallel encode+query)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="single-chip stream pipelining: fuse encode(frame N+1) "
+                         "with the grid query of frame N into one program (exact)")
     args = ap.parse_args()
 
     import jax
@@ -180,14 +183,36 @@ def main():
                     )
     else:
         predict = S.make_grid_predictor(query_fn, coherent=fast)
+
+        def frame_inputs(i):
+            s = dataset[i]
+            return (
+                s,
+                jnp.asarray(s["imgs"])[None],
+                jnp.asarray(s["projs"])[None],
+                jnp.asarray(s["poses"])[None],
+            )
+
+        pipelined = args.pipelined and n > 1
+        if pipelined:
+            step = jax.jit(S.make_pipelined_grid_step(
+                encode_fn, S.make_grid_predictor(query_fn, coherent=fast, jit=False)
+            ))
+            cur = frame_inputs(0)
+            qstate = encode(variables, *cur[1:])
         for i in range(n):
-            sample = dataset[i]
-            imgs = jnp.asarray(sample["imgs"])[None]
-            projs = jnp.asarray(sample["projs"])[None]
-            poses = jnp.asarray(sample["poses"])[None]
-            t0 = time.perf_counter()
-            qstate = encode(variables, imgs, projs, poses)
-            sigmas, segs = predict(pts_j, qstate)
+            if pipelined:
+                sample = cur[0]
+                # feed frame i+1's inputs; grids belong to frame i
+                nxt = frame_inputs(i + 1) if i + 1 < n else cur
+                t0 = time.perf_counter()
+                qstate, (sigmas, segs) = step(variables, qstate, pts_j, *nxt[1:])
+                cur = nxt
+            else:
+                sample, imgs, projs, poses = frame_inputs(i)
+                t0 = time.perf_counter()
+                qstate = encode(variables, imgs, projs, poses)
+                sigmas, segs = predict(pts_j, qstate)
             sigmas = np.asarray(sigmas)
             segs = np.asarray(segs)
             t_total += time.perf_counter() - t0

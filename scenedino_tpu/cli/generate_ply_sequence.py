@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--calib", default=None)
     ap.add_argument("--slow", action="store_true",
                     help="use the unfolded full-field query path (reference semantics bit-path)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="fuse encode(frame N+1) with the grid query of frame N "
+                         "into one program (exact; hides the encode behind the "
+                         "gather-bound query on a single chip)")
     args = ap.parse_args()
 
     import jax
@@ -85,16 +89,17 @@ def main():
 
     fast = not args.slow
 
-    @jax.jit
-    def encode(variables, imgs, projs, poses):
+    def encode_fn(variables, imgs, projs, poses):
         poses = jnp.linalg.inv(poses[:, :1]) @ poses
         state = field.apply(
             variables, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
             method=SceneField.encode,
         )
         if fast:
-            return build_fast_state(variables, state, field.cfg)
-        return state
+            state = build_fast_state(variables, state, field.cfg)
+        return {"vars": variables, "state": state}
+
+    encode = jax.jit(encode_fn)
 
 
     n_pts = pts.shape[0]
@@ -117,16 +122,34 @@ def main():
     if args.max_frames:
         ids = ids[: args.max_frames]
     t_total = 0.0
-    for count, i in enumerate(ids):
+
+    def frame_inputs(i):
         sample = dataset[int(i)]
-        t0 = time.perf_counter()
-        qstate = {"vars": variables, "state": encode(
-            variables,
+        return (
             jnp.asarray(sample["imgs"])[None],
             jnp.asarray(sample["projs"])[None],
             jnp.asarray(sample["poses"])[None],
-        )}
-        sigmas, segs = predict(pts_j, qstate)  # grid-shaped; pad handled inside
+        )
+
+    if args.pipelined and len(ids) > 1:
+        # software-pipelined stream: one program per frame queries frame
+        # N-1's state over the grid while encoding frame N (exact; see
+        # eval/sscbench.make_pipelined_grid_step)
+        predict_raw = S.make_grid_predictor(
+            query_fn, chunk_points=chunk, grow=False, grid_dim=grid_dim,
+            voxel_size=vs, jit=False,
+        )
+        step = jax.jit(S.make_pipelined_grid_step(encode_fn, predict_raw))
+        qstate = encode(variables, *frame_inputs(ids[0]))
+    for count, i in enumerate(ids):
+        t0 = time.perf_counter()
+        if args.pipelined and len(ids) > 1:
+            # feed the NEXT frame's inputs; outputs belong to frame `i`
+            nxt = frame_inputs(ids[min(count + 1, len(ids) - 1)])
+            qstate, (sigmas, segs) = step(variables, qstate, pts_j, *nxt)
+        else:
+            qstate = encode(variables, *frame_inputs(i))
+            sigmas, segs = predict(pts_j, qstate)  # grid-shaped; pad inside
         sigmas = np.asarray(sigmas)
         segs = np.asarray(segs)
         t_total += time.perf_counter() - t0

@@ -275,6 +275,31 @@ def make_sharded_frame_predictor(encode_fn, predict_fn, mesh, axis_name="data"):
     )
 
 
+def make_pipelined_grid_step(encode_fn, predict_fn):
+    """Software-pipelined SSC/PLY frame stream on ONE chip: a single
+    program queries frame N-1's scene state over the dense voxel grid
+    while encoding frame N — XLA interleaves the gather-bound grid query
+    with the MXU-bound ViT/DPT encode, so steady-state cost tends to
+    max(encode, query) instead of encode + query. Numerics are exactly
+    the two-call sequence (the fusion only merges independent programs).
+
+    encode_fn(variables, imgs, projs, poses) -> qstate  (raw, unjitted)
+    predict_fn: `make_grid_predictor(..., jit=False)` raw fn.
+
+    Returns a RAW `step(variables, qstate_prev, pts, imgs, projs, poses)
+    -> (qstate_next, (sigmas, segs))` — jit it with real args (do not
+    close over params; see make_grid_predictor). Bootstrap qstate_prev by
+    encoding frame 0; feed frame N+1's images to get frame N's grids.
+    """
+
+    def step(variables, qstate_prev, pts, imgs, projs, poses):
+        sigmas, segs = predict_fn(pts, qstate_prev)
+        qstate_next = encode_fn(variables, imgs, projs, poses)
+        return qstate_next, (sigmas, segs)
+
+    return step
+
+
 def compute_occupancy_numbers(y_pred, y_true, fov_mask):
     """(evaluate_model_sscbench.py:908-924)."""
     mask = (y_true != 255) & fov_mask

@@ -182,6 +182,40 @@ def test_sharded_frame_predictor_matches_sequential():
         np.testing.assert_array_equal(np.asarray(seg_b[j]), np.asarray(seg))
 
 
+def test_pipelined_grid_step_matches_two_call_sequence():
+    """make_pipelined_grid_step == encode + predict called separately: the
+    returned grids belong to the PREVIOUS frame's state and qstate_next is
+    the fresh encode of the fed frame."""
+    X, Y, Z = 16, 16, 8
+    base = X * Y * Z
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.uniform(-5, 5, (base, 3)).astype(np.float32))
+
+    def query_fn(block, qstate):
+        sigma = jnp.where(block[0, :, 2] > qstate["state"]["h"], 50.0, 0.0)
+        seg = jax.nn.one_hot(jnp.zeros((block.shape[1],), jnp.int32), 19)
+        return sigma[None], seg[None]
+
+    def encode_fn(variables, imgs, projs, poses):
+        return {"vars": variables, "state": {"h": imgs[0, 0]}}
+
+    kw = dict(chunk_points=base // 4, grow=True, grid_dim=(X, Y, Z), coherent=True)
+    predict = S.make_grid_predictor(query_fn, **kw)
+    step = jax.jit(S.make_pipelined_grid_step(
+        encode_fn, S.make_grid_predictor(query_fn, jit=False, **kw)
+    ))
+
+    f0 = jnp.asarray(np.array([[-1.0]], np.float32))  # frame 0: h=-1
+    f1 = jnp.asarray(np.array([[1.5]], np.float32))   # frame 1: h=1.5
+    q0 = encode_fn({}, f0, None, None)
+    q1_next, (sig, seg) = step({}, q0, pts, f1, None, None)
+
+    ref_sig, ref_seg = predict(pts, q0)  # grids for frame 0's state
+    np.testing.assert_array_equal(np.asarray(sig), np.asarray(ref_sig))
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(ref_seg))
+    assert float(q1_next["state"]["h"]) == 1.5
+
+
 def test_pseudo_assignment_oversegmentation_optimal():
     """Over-segmentation counterexample: argmax covers all GT rows and is
     optimal; a plain Hungarian on conf would sub-optimally force column 1
