@@ -38,8 +38,10 @@ def main():
     from scenedino_tpu.eval.seg2d import Seg2DEvaluator
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.utils import enable_compilation_cache
+    from scenedino_tpu.utils.jax_setup import maybe_init_distributed
     from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, load_checkpoint
 
+    maybe_init_distributed()
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
     # --config accepts a yaml file OR a training-run directory holding

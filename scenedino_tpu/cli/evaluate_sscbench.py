@@ -96,8 +96,10 @@ def main():
     from scenedino_tpu.eval import sscbench as S
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.utils import enable_compilation_cache
+    from scenedino_tpu.utils.jax_setup import maybe_init_distributed
     from scenedino_tpu.utils.checkpoint import load_model_variables
 
+    maybe_init_distributed()
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
 

@@ -106,7 +106,9 @@ def run_stage1(config, sweep_trial=None):
         make_train_step,
     )
     from scenedino_tpu.utils import enable_compilation_cache
+    from scenedino_tpu.utils.jax_setup import maybe_init_distributed
 
+    maybe_init_distributed()
     enable_compilation_cache()
     train_ds, val_ds = make_datasets(config["dataset"])
     # `with_amp: true` (reference train.py autocast) = bf16 compute dtype
@@ -270,8 +272,10 @@ def run_stage2(config, sweep_trial=None):
     )
     from scenedino_tpu.training.loop import LoopConfig, find_latest_checkpoint, fit
     from scenedino_tpu.utils import enable_compilation_cache
+    from scenedino_tpu.utils.jax_setup import maybe_init_distributed
     from scenedino_tpu.utils.checkpoint import load_checkpoint
 
+    maybe_init_distributed()
     enable_compilation_cache()
     train_ds, val_ds = make_datasets(config["dataset"])
     # with_amp => bf16 compute for the frozen field's encode (see run_stage1)

@@ -14,6 +14,41 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 
+def maybe_init_distributed() -> bool:
+    """Multi-host (DCN) initialization, opt-in via environment.
+
+    The reference spawns one torch-DDP process per GPU through ignite
+    `idist.Parallel` (train.py:36-39); the TPU-native equivalent is one
+    JAX process per host joined into a single global mesh:
+    `jax.distributed.initialize` + the existing `make_data_mesh` (which
+    builds over `jax.devices()`, global after init). Everything else
+    already multi-host-safe: every process iterates the SAME seeded
+    batch order and `shard_batch`'s device_put transfers only each
+    process's addressable shard; TB/checkpoint IO is process_index-0
+    gated.
+
+    Triggers when `JAX_COORDINATOR_ADDRESS` is set (explicit
+    coordinator + `JAX_NUM_PROCESSES`/`JAX_PROCESS_ID`), or when
+    `SCENEDINO_DISTRIBUTED=1` requests TPU-pod auto-detection. Returns
+    True when distributed mode was initialized. Must run before any
+    other JAX backend touch.
+    """
+    import jax
+
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("SCENEDINO_DISTRIBUTED", "").lower() in ("1", "true"):
+        jax.distributed.initialize()  # TPU-pod metadata auto-detection
+        return True
+    return False
+
+
 def save_run_config(output_path: str, config: dict):
     """Persist the training config next to the checkpoints
     (`common/io/configs.py:7-20` save_hydra_config parity) so evaluation

@@ -367,3 +367,35 @@ def test_flow_vis_builders():
     )
     for k in ("flow", "occlusions", "predicted_occlusions", "depth_direct", "rendered_flow"):
         assert k in panels, k
+
+
+def test_maybe_init_distributed_is_noop_without_env(monkeypatch):
+    """Multi-host init must be strictly opt-in: no coordinator env vars ->
+    no jax.distributed.initialize call, returns False."""
+    import scenedino_tpu.utils.jax_setup as js
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("SCENEDINO_DISTRIBUTED", raising=False)
+    called = {}
+
+    import jax
+
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda *a, **k: called.setdefault("yes", True),
+    )
+    assert js.maybe_init_distributed() is False
+    assert not called
+
+    # explicit coordinator env triggers initialize with its coordinates
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    seen = {}
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        seen.update(addr=coordinator_address, n=num_processes, pid=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    assert js.maybe_init_distributed() is True
+    assert seen == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2}
