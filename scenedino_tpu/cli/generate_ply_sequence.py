@@ -133,7 +133,8 @@ def main():
             jnp.asarray(sample["poses"])[None],
         )
 
-    if args.pipelined and len(ids) > 1:
+    pipelined = args.pipelined and len(ids) > 1
+    if pipelined:
         # software-pipelined stream: one program per frame queries frame
         # N-1's state over the grid while encoding frame N (exact; see
         # eval/sscbench.make_pipelined_grid_step)
@@ -142,13 +143,20 @@ def main():
             voxel_size=vs, jit=False,
         )
         step = jax.jit(S.make_pipelined_grid_step(encode_fn, predict_raw))
-        qstate = encode(variables, *frame_inputs(ids[0]))
+        cur = frame_inputs(ids[0])
+        # the bootstrap encode is real per-run cost: include it in t_total
+        t0 = time.perf_counter()
+        qstate = jax.block_until_ready(encode(variables, *cur))
+        t_total += time.perf_counter() - t0
     for count, i in enumerate(ids):
-        if args.pipelined and len(ids) > 1:
-            # feed the NEXT frame's inputs; outputs belong to frame `i`
-            nxt = frame_inputs(ids[min(count + 1, len(ids) - 1)])
+        if pipelined:
+            # feed the NEXT frame's inputs; outputs belong to frame `i`.
+            # The final step reuses `cur` as a dummy next frame (its encode
+            # is discarded) rather than re-reading it from disk.
+            nxt = frame_inputs(ids[count + 1]) if count + 1 < len(ids) else cur
             t0 = time.perf_counter()
             qstate, (sigmas, segs) = step(variables, qstate, pts_j, *nxt)
+            cur = nxt
         else:
             inp = frame_inputs(i)
             t0 = time.perf_counter()

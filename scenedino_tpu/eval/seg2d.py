@@ -174,6 +174,14 @@ class Seg2DEvaluator:
 
         from scenedino_tpu.parallel.mesh import make_mesh
 
+        if jax.process_count() > 1:
+            # inputs/outputs here are host-global arrays; a multi-host
+            # run would need per-process dataset splits + global-array
+            # assembly. Multi-host scaling is supported for TRAINING.
+            raise NotImplementedError(
+                "run_sharded is single-host multi-device; split the "
+                "dataset per process for multi-host evaluation"
+            )
         if mesh is None:
             mesh = make_mesh()
         D = int(mesh.devices.size)

@@ -261,6 +261,14 @@ def make_sharded_frame_predictor(encode_fn, predict_fn, mesh, axis_name="data"):
         from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
+    if jax.process_count() > 1:
+        # host-global inputs + np.asarray fetch of the per-frame grids
+        # don't compose with multi-host meshes; split frames per process
+        raise NotImplementedError(
+            "make_sharded_frame_predictor is single-host multi-device; "
+            "split the dataset per process for multi-host evaluation"
+        )
+
     d = P(axis_name)
 
     def body(variables, pts, imgs, projs, poses):

@@ -33,20 +33,35 @@ def maybe_init_distributed() -> bool:
     True when distributed mode was initialized. Must run before any
     other JAX backend touch.
     """
+    global _distributed_initialized
     import jax
 
+    if _distributed_initialized:
+        # idempotent: the sweep CLI calls a stage fn (and thus this) once
+        # per trial in one process; a second jax.distributed.initialize
+        # raises
+        return True
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord:
+        # num_processes/process_id fall back to initialize()'s own
+        # auto-detection when not set explicitly
+        n = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
         jax.distributed.initialize(
             coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
+            num_processes=int(n) if n is not None else None,
+            process_id=int(pid) if pid is not None else None,
         )
+        _distributed_initialized = True
         return True
     if os.environ.get("SCENEDINO_DISTRIBUTED", "").lower() in ("1", "true"):
         jax.distributed.initialize()  # TPU-pod metadata auto-detection
+        _distributed_initialized = True
         return True
     return False
+
+
+_distributed_initialized = False
 
 
 def save_run_config(output_path: str, config: dict):
