@@ -51,8 +51,35 @@ def build():
     return field, params, imgs, projs, poses
 
 
+def _device_watchdog(timeout_s: float = 240.0):
+    """Fail fast when the (tunneled) TPU is unreachable: the first device
+    touch then hangs forever inside the backend, so run a tiny probe
+    matmul with a watchdog thread that exits the process with a clear
+    message instead of letting the driver's bench run hang silently.
+    Compiles are NOT bounded by this — only the trivial probe."""
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                f"bench.py: device probe did not complete in {timeout_s:.0f}s"
+                " — TPU tunnel down/unreachable; no measurement possible",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    x = jnp.ones((128, 128))
+    float((x @ x).sum())
+    done.set()
+
+
 def main():
     import numpy as np
+
+    _device_watchdog()
 
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.ops.fast_field import (
