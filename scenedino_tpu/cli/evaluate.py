@@ -39,8 +39,6 @@ def main():
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.utils import enable_compilation_cache
     from scenedino_tpu.utils.jax_setup import maybe_init_distributed
-    from scenedino_tpu.utils.checkpoint import convert_scenedino_checkpoint, load_checkpoint
-
     maybe_init_distributed()
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
@@ -77,65 +75,14 @@ def main():
         jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
     )
     variables = field.warmup_init(key, *dummy)
-    import os
+    from scenedino_tpu.utils.checkpoint import load_eval_state
 
-    from scenedino_tpu.training.loop import find_latest_checkpoint
-
-    ckpt = args.ckpt
-    run_dir = ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
-    if not ckpt.endswith(".pt") and os.path.isdir(ckpt):
-        resolved = find_latest_checkpoint(ckpt)
-        if resolved:
-            ckpt = resolved
-        elif os.path.basename(ckpt).startswith("training_checkpoint_") or "_best_" in os.path.basename(ckpt):
-            # --ckpt pointed at a checkpoint DIR inside a run dir: the
-            # field_params snapshot lives in the PARENT run dir
-            run_dir = os.path.dirname(os.path.abspath(ckpt))
-    if ckpt.endswith(".pt"):
-        # shared .pt-convert path (state collection nested under "state")
-        from scenedino_tpu.utils.checkpoint import load_model_variables
-
-        variables = load_model_variables(ckpt)
-        head_vars = {
-            "params": variables["params"]["downstream"],
-            "state": variables["state"].get("downstream", {}),
-        }
-    else:
-        restored = load_checkpoint(ckpt)
-        if "head_variables" in restored:
-            # a stage-2 run checkpoint (DownstreamTrainState): head weights
-            # from the training state, frozen field from the field_params
-            # snapshot run_stage2 writes next to the checkpoints
-            head_vars = {
-                "params": restored["head_variables"]["params"],
-                "state": restored["head_variables"].get("state", {}),
-            }
-            field_path = os.path.join(os.path.abspath(run_dir), "field_params")
-            if not os.path.isdir(field_path):
-                # silently evaluating through random warmup-init field
-                # weights would report garbage mIoU with no hint why
-                raise FileNotFoundError(
-                    f"stage-2 checkpoint {ckpt!r} has no field_params "
-                    f"snapshot at {field_path!r} — point --ckpt at the run "
-                    "directory (run_stage2 writes field_params next to its "
-                    "checkpoints)"
-                )
-            restored_field = load_checkpoint(field_path)
-            variables = {**variables, "params": restored_field["params"]}
-        else:
-            # full-model tree (converted-orbax or bare variables): assemble
-            # target-free — a structural target= restore rejects the
-            # converted layout's extra artifact_field leaf
-            if "params" not in restored:
-                raise ValueError(
-                    f"{ckpt!r}: unrecognized checkpoint layout "
-                    f"(top-level keys {sorted(restored)[:6]})"
-                )
-            variables = {"params": restored["params"], "state": restored.get("state", {}) or {}}
-            head_vars = {
-                "params": variables["params"]["downstream"],
-                "state": variables["state"].get("downstream", {}),
-            }
+    variables, head_vars = load_eval_state(args.ckpt, warmup_variables=variables)
+    if head_vars["params"] is None:
+        raise ValueError(
+            f"{args.ckpt!r} has no downstream head — 2D segmentation "
+            "evaluation needs a stage-2 (semantic) checkpoint"
+        )
     evaluator = Seg2DEvaluator(
         field=field, head=head, field_params=variables, head_variables=head_vars,
         image_size=(H, W), n_classes=max(head.cfg.n_classes, head.cfg.gt_classes),

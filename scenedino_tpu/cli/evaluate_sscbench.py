@@ -71,6 +71,11 @@ def main():
     ap.add_argument("--voxel-gt", required=True)
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--variant", default="dino", choices=["dino", "dinov2"])
+    ap.add_argument("--config", default=None,
+                    help="training run dir or yaml: rebuild the EXACT trained "
+                         "model from its saved config (the reference re-composes "
+                         "training_config.yaml at inference) instead of the "
+                         "--variant preset")
     ap.add_argument(
         "--prediction-mode", default="stego_kmeans",
         choices=["stego_kmeans", "direct_linear", "direct_kmeans", "stego_linear"],
@@ -97,26 +102,33 @@ def main():
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.utils import enable_compilation_cache
     from scenedino_tpu.utils.jax_setup import maybe_init_distributed
-    from scenedino_tpu.utils.checkpoint import load_model_variables
+    from scenedino_tpu.utils.checkpoint import load_eval_state
 
     maybe_init_distributed()
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
 
-    dataset = SSCBenchDataset(data_path=args.data, voxel_gt_path=args.voxel_gt)
-    field = build_model(variant=args.variant)
+    if args.config:
+        # rebuild the exact trained model from the saved run config
+        from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
+        from scenedino_tpu.models.factory import make_model
+        from scenedino_tpu.utils.jax_setup import load_run_config
 
-    key = jax.random.PRNGKey(0)
-    H, W = 192, 640
-    dummy = (
-        jnp.zeros((1, 1, 3, H, W)),
-        jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
-        jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4)),
+        config = load_run_config(args.config)
+        head = SemanticHead(cfg=SemanticHeadConfig.from_dict(config.get("downstream", {})))
+        field = make_model(config["model"], downstream=head)
+        H, W = config.get("dataset", {}).get("image_size", (192, 640))
+    else:
+        field = build_model(variant=args.variant)
+        H, W = 192, 640
+    dataset = SSCBenchDataset(
+        data_path=args.data, voxel_gt_path=args.voxel_gt,
+        target_image_size=(H, W),
     )
-    variables = field.warmup_init(key, *dummy)
-    # shared .pt-convert / orbax-restore path (state collection nested
-    # under "state", target-free restore) — utils/checkpoint.py
-    variables = load_model_variables(args.ckpt)
+
+    # any supported layout: .pt convert, converted-orbax full tree, or a
+    # stage-2 run dir (head grafted under params/state["downstream"])
+    variables, _ = load_eval_state(args.ckpt)
 
     calib = S.read_calib(args.calib)
     pts, fov_mask = S.generate_point_grid(calib=calib)

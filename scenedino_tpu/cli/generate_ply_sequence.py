@@ -47,6 +47,9 @@ def main():
                     help="fuse encode(frame N+1) with the grid query of frame N "
                          "into one program (exact; hides the encode behind the "
                          "gather-bound query on a single chip)")
+    ap.add_argument("--config", default=None,
+                    help="training run dir or yaml: rebuild the EXACT trained "
+                         "model from its saved config instead of the --variant preset")
     args = ap.parse_args()
 
     import jax
@@ -61,20 +64,34 @@ def main():
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.utils import enable_compilation_cache
     from scenedino_tpu.utils.jax_setup import maybe_init_distributed
-    from scenedino_tpu.utils.checkpoint import load_model_variables
+    from scenedino_tpu.utils.checkpoint import load_eval_state
 
     maybe_init_distributed()
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
 
-    dataset = SSCBenchDataset(data_path=args.data, voxel_gt_path=None)
-    field = build_model(variant=args.variant)
+    if args.config:
+        # rebuild the exact trained model from the saved run config
+        from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
+        from scenedino_tpu.models.factory import make_model
+        from scenedino_tpu.utils.jax_setup import load_run_config
 
-    # shared .pt-convert / orbax-restore path (state collection nested
-    # under "state", target-free restore) — utils/checkpoint.py. No
-    # warmup_init needed: the restore is target-free, and the warmup
-    # compile costs minutes over the tunneled TPU.
-    variables = load_model_variables(args.ckpt)
+        config = load_run_config(args.config)
+        head = SemanticHead(cfg=SemanticHeadConfig.from_dict(config.get("downstream", {})))
+        field = make_model(config["model"], downstream=head)
+        img_size = tuple(config.get("dataset", {}).get("image_size", (192, 640)))
+    else:
+        field = build_model(variant=args.variant)
+        img_size = (192, 640)
+    dataset = SSCBenchDataset(
+        data_path=args.data, voxel_gt_path=None, target_image_size=img_size
+    )
+
+    # any supported layout: .pt convert, converted-orbax full tree, or a
+    # stage-2 run dir (head grafted under params/state["downstream"]). No
+    # warmup_init: the restore is target-free, and the warmup compile
+    # costs minutes over the tunneled TPU.
+    variables, _ = load_eval_state(args.ckpt)
 
     vs = args.voxel_size
     calib = S.read_calib(args.calib)

@@ -66,6 +66,92 @@ def load_model_variables(ckpt_path: str):
     return {"params": conv["params"], "state": conv.get("state", {}) or {}}
 
 
+def load_eval_state(ckpt_path: str, warmup_variables=None):
+    """Resolve ANY supported checkpoint layout into `(variables,
+    head_vars)` for the evaluation CLIs (the reference rebuilds its model
+    from the checkpoint's saved config at inference and loads
+    `checkpoint.pt` non-strictly, demo_utils/utils.py:22-60):
+
+      * `.pt` — published torch checkpoint, converted on the fly
+      * converted-orbax full-model dir (download_checkpoint output) or a
+        bare `{"params", "state"}` tree
+      * a training RUN DIR — resolves the newest training_checkpoint_*
+      * a stage-2 run checkpoint — head weights from the training state
+        plus the frozen field from the run dir's `field_params` snapshot
+        (pass `warmup_variables` to supply any non-param collections)
+
+    `variables` always carries the downstream head grafted under
+    params/state["downstream"], so both `SceneField.query_segmentation`
+    (SSC/PLY CLIs) and a standalone `head.apply` (2D evaluator) work
+    from the same tree. head_vars["params"] is None when the checkpoint
+    has no downstream head.
+    """
+    import os
+
+    from scenedino_tpu.training.loop import find_latest_checkpoint
+
+    ckpt = ckpt_path
+    run_dir = ckpt if os.path.isdir(ckpt) else os.path.dirname(ckpt)
+    if not ckpt.endswith(".pt") and os.path.isdir(ckpt):
+        resolved = find_latest_checkpoint(ckpt)
+        if resolved:
+            ckpt = resolved
+        elif os.path.basename(ckpt).startswith("training_checkpoint_") or "_best_" in os.path.basename(ckpt):
+            # a checkpoint DIR inside a run dir: field_params lives in
+            # the PARENT run dir
+            run_dir = os.path.dirname(os.path.abspath(ckpt))
+
+    if ckpt.endswith(".pt"):
+        variables = load_model_variables(ckpt)
+    else:
+        restored = load_checkpoint(ckpt)
+        if "head_variables" in restored:
+            # stage-2 run checkpoint (DownstreamTrainState): the frozen
+            # field comes from the field_params snapshot run_stage2
+            # writes next to its checkpoints
+            head_params = restored["head_variables"]["params"]
+            head_state = restored["head_variables"].get("state", {}) or {}
+            field_path = os.path.join(os.path.abspath(run_dir), "field_params")
+            if not os.path.isdir(field_path):
+                # silently evaluating through random field weights would
+                # report garbage mIoU with no hint why
+                raise FileNotFoundError(
+                    f"stage-2 checkpoint {ckpt!r} has no field_params "
+                    f"snapshot at {field_path!r} — point --ckpt at the run "
+                    "directory (run_stage2 writes field_params next to its "
+                    "checkpoints)"
+                )
+            restored_field = load_checkpoint(field_path)
+            base = dict(warmup_variables or {})
+            params = dict(restored_field["params"])
+            params["downstream"] = head_params
+            state = dict(base.get("state", {}) or {})
+            state["downstream"] = head_state
+            variables = {
+                **{k: v for k, v in base.items() if k not in ("params", "state")},
+                "params": params,
+                "state": state,
+            }
+        else:
+            # full-model tree (converted-orbax or bare variables):
+            # assemble target-free — a structural target= restore rejects
+            # the converted layout's extra artifact_field leaf
+            if "params" not in restored:
+                raise ValueError(
+                    f"{ckpt!r}: unrecognized checkpoint layout "
+                    f"(top-level keys {sorted(restored)[:6]})"
+                )
+            variables = {
+                "params": restored["params"],
+                "state": restored.get("state", {}) or {},
+            }
+    head_vars = {
+        "params": variables["params"].get("downstream"),
+        "state": (variables.get("state") or {}).get("downstream", {}),
+    }
+    return variables, head_vars
+
+
 # --------------------------------------------------------- torch import
 def _t(x):
     return np.asarray(x)
