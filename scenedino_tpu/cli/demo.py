@@ -126,6 +126,9 @@ def main():
     ap.add_argument("--image", required=True)
     ap.add_argument("--out", default="demo_out")
     ap.add_argument("--variant", default="dino", choices=["dino", "dinov2"])
+    ap.add_argument("--config", default=None,
+                    help="training run dir or yaml: rebuild the EXACT trained "
+                         "model from its saved config instead of the --variant preset")
     args = ap.parse_args()
 
     import jax
@@ -133,22 +136,34 @@ def main():
 
     from scenedino_tpu.models.field import SceneField
 
-    field = build_model(variant=args.variant)
-    img = load_image(args.image)
-    K, pose = default_camera()
+    if args.config:
+        from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
+        from scenedino_tpu.models.factory import make_model
+        from scenedino_tpu.utils.jax_setup import load_run_config
+
+        config = load_run_config(args.config)
+        head = SemanticHead(cfg=SemanticHeadConfig.from_dict(config.get("downstream", {})))
+        field = make_model(config["model"], downstream=head)
+        image_size = tuple(config.get("dataset", {}).get("image_size", (192, 640)))
+    else:
+        field = build_model(variant=args.variant)
+        image_size = (192, 640)
+    img = load_image(args.image, image_size=image_size)
+    K, pose = default_camera(image_size)
 
     key = jax.random.PRNGKey(0)
     params = field.warmup_init(key, jnp.asarray(img), jnp.asarray(K), jnp.asarray(pose))
     if args.ckpt:
-        from scenedino_tpu.utils.checkpoint import load_model_variables
+        # any supported layout incl. a stage-2 training run dir
+        from scenedino_tpu.utils.checkpoint import load_eval_state
 
-        params = load_model_variables(args.ckpt)
+        params, _ = load_eval_state(args.ckpt, warmup_variables=params)
 
     state = field.apply(
         params, jnp.asarray(img), jnp.asarray(K), jnp.asarray(pose),
         ids_encoder=(0,), method=SceneField.encode,
     )
-    depth, dino = inference_rendered_2d(field, params, state)
+    depth, dino = inference_rendered_2d(field, params, state, image_size=image_size)
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "depth.npy"), depth)
     np.save(os.path.join(args.out, "dino_features.npy"), dino.astype(np.float16))

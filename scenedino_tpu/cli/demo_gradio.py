@@ -197,9 +197,10 @@ def main():  # pragma: no cover - needs gradio + checkpoint
         key, jnp.zeros((1, 1, 3, 192, 640)), jnp.asarray(K), jnp.asarray(pose)
     )
     if args.ckpt:
-        from scenedino_tpu.utils.checkpoint import load_model_variables
+        # any supported layout incl. a stage-2 training run dir
+        from scenedino_tpu.utils.checkpoint import load_eval_state
 
-        params = load_model_variables(args.ckpt)
+        params, _ = load_eval_state(args.ckpt, warmup_variables=params)
     build_interface(field, params).launch(share=args.share)
 
 

@@ -130,3 +130,29 @@ def test_generate_ply_sequence_cli_pipelined(ssc_root, stage2_run, tmp_path, mon
         data = f.read_bytes()
         assert data.startswith(b"ply")
         assert len(data) > 100  # header + some voxels
+
+
+def test_demo_cli_on_stage2_run(ssc_root, stage2_run, tmp_path, monkeypatch, capsys):
+    """Demo CLI end-to-end from a stage-2 run dir (--config rebuild +
+    load_eval_state layout): rendered depth/features + 3D grid export."""
+    from scenedino_tpu.cli import demo
+
+    out, _ = stage2_run
+    img_path = ssc_root / "data_2d_raw" / SEQ / "image_00" / "data_rect" / "0000000000.png"
+    demo_out = tmp_path / "demo"
+    monkeypatch.setattr("sys.argv", [
+        "demo",
+        "--image", str(img_path),
+        "--ckpt", str(out),
+        "--config", str(out),
+        "--out", str(demo_out),
+    ])
+    demo.main()
+    depth = np.load(demo_out / "depth.npy")
+    dino = np.load(demo_out / "dino_features.npy")
+    sigma = np.load(demo_out / "grid_sigma.npy")
+    H, W = 48, 96  # the stage-2 run's image size
+    assert depth.shape == (H, W) and np.isfinite(depth).all()
+    assert 3.0 <= depth.min() and depth.max() <= 80.0
+    assert dino.shape[:2] == (H, W) and np.isfinite(np.float32(dino)).all()
+    assert np.isfinite(sigma).all() and (sigma >= 0).all()
