@@ -120,6 +120,28 @@ def inference_3d(field, params, state, x_range=(-10, 10), y_range=(-5, 5), z_ran
     return xyz, dino, sigma, seg
 
 
+def _save_point_ply(path, xyz, rgb):
+    """Binary point-cloud PLY (N points, uint8 colors)."""
+    n = xyz.shape[0]
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    ).encode()
+    rec = np.zeros(
+        n,
+        dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+               ("red", "u1"), ("green", "u1"), ("blue", "u1")],
+    )
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rec["red"], rec["green"], rec["blue"] = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+    with open(path, "wb") as f:
+        f.write(header)
+        rec.tofile(f)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=False, help="orbax dir or torch .pt checkpoint")
@@ -169,9 +191,42 @@ def main():
     np.save(os.path.join(args.out, "dino_features.npy"), dino.astype(np.float16))
     print(f"depth range: [{depth.min():.2f}, {depth.max():.2f}]  features: {dino.shape}")
 
+    # PCA visualization panels (demo_script.py:42-60: fit on the rendered
+    # 768-d features, three component triplets as RGB pngs + the input)
+    from PIL import Image
+
+    from scenedino_tpu.ops.pca import fit_pca, transform_pca
+
+    def save_png(name, arr):
+        arr = np.asarray(arr, np.float32)
+        arr = arr - arr.min()
+        arr = arr / max(arr.max(), 1e-12)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(os.path.join(args.out, name))
+
+    save_png("input_image.png", np.asarray(img[0, 0]).transpose(1, 2, 0) * 0.5 + 0.5)
+    H2, W2 = image_size
+    pca = fit_pca(jnp.asarray(dino.reshape(-1, dino.shape[-1]), jnp.float32))
+    for from_dim in (0, 3, 6):
+        rgb = np.asarray(transform_pca(pca, jnp.asarray(dino.reshape(-1, dino.shape[-1]), jnp.float32), from_dim=from_dim))
+        save_png(f"feat_pca_{from_dim:02d}_{from_dim + 2:02d}.png", rgb.reshape(H2, W2, 3))
+
     xyz, dino3d, sigma, seg = inference_3d(field, params, state)
     np.save(os.path.join(args.out, "grid_sigma.npy"), sigma)
     print(f"3d grid: {xyz.shape[0]} pts, occupied (sigma>0.2): {(sigma > 0.2).mean():.3f}")
+
+    # occupied grid points as a PCA-colored point cloud (demo_script.py:76-85
+    # feeds these to open3d; a PLY is the headless equivalent)
+    occ = sigma > 0.2
+    if occ.any():
+        rgb3d = np.asarray(
+            transform_pca(pca, jnp.asarray(dino3d[occ], jnp.float32), from_dim=0)
+        )
+        rgb3d = rgb3d - rgb3d.min(0, keepdims=True)
+        rgb3d = rgb3d / np.maximum(rgb3d.max(0, keepdims=True), 1e-12)
+        _save_point_ply(
+            os.path.join(args.out, "grid_points.ply"),
+            xyz[occ], (rgb3d * 255).astype(np.uint8),
+        )
 
 
 if __name__ == "__main__":

@@ -156,3 +156,13 @@ def test_demo_cli_on_stage2_run(ssc_root, stage2_run, tmp_path, monkeypatch, cap
     assert 3.0 <= depth.min() and depth.max() <= 80.0
     assert dino.shape[:2] == (H, W) and np.isfinite(np.float32(dino)).all()
     assert np.isfinite(sigma).all() and (sigma >= 0).all()
+
+    # PCA panels (demo_script.py:42-60 parity) + input png
+    for name in ("input_image.png", "feat_pca_00_02.png", "feat_pca_03_05.png",
+                 "feat_pca_06_08.png"):
+        panel = np.asarray(Image.open(demo_out / name))
+        assert panel.shape == (H, W, 3), (name, panel.shape)
+    # occupied grid points exported as a PCA-colored point cloud
+    if (sigma > 0.2).any():
+        data = (demo_out / "grid_points.ply").read_bytes()
+        assert data.startswith(b"ply") and b"red" in data[:200]
