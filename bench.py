@@ -171,9 +171,10 @@ def main():
     emit(dt_novel)
 
     # pipelined stream serving: ONE program per frame renders the previous
-    # frame's folded state while encoding the next (make_pipelined_stream_step)
-    # — steady-state video/NVS cost tends to max(encode, render) instead of
-    # encode + render; numerics exactly the two-call sequence (tested)
+    # frame's folded state while encoding the next (make_pipelined_stream_step).
+    # MEASURED: XLA does not co-schedule the independent subgraphs — the fused
+    # program costs encode + render (sum, not max); kept as a dispatch-count
+    # reduction datapoint. numerics exactly the two-call sequence (tested)
     try:
         import time as _time
         from functools import partial as _partial

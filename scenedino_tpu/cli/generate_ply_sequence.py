@@ -45,8 +45,9 @@ def main():
                     help="use the unfolded full-field query path (reference semantics bit-path)")
     ap.add_argument("--pipelined", action="store_true",
                     help="fuse encode(frame N+1) with the grid query of frame N "
-                         "into one program (exact; hides the encode behind the "
-                         "gather-bound query on a single chip)")
+                         "into one program (exact; reduces dispatch count — "
+                         "measured cost is encode + query, XLA does not "
+                         "co-schedule the subgraphs)")
     ap.add_argument("--config", default=None,
                     help="training run dir or yaml: rebuild the EXACT trained "
                          "model from its saved config instead of the --variant preset")

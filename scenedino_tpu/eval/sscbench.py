@@ -286,10 +286,13 @@ def make_sharded_frame_predictor(encode_fn, predict_fn, mesh, axis_name="data"):
 def make_pipelined_grid_step(encode_fn, predict_fn):
     """Software-pipelined SSC/PLY frame stream on ONE chip: a single
     program queries frame N-1's scene state over the dense voxel grid
-    while encoding frame N — XLA interleaves the gather-bound grid query
-    with the MXU-bound ViT/DPT encode, so steady-state cost tends to
-    max(encode, query) instead of encode + query. Numerics are exactly
-    the two-call sequence (the fusion only merges independent programs).
+    while encoding frame N. MEASURED (v5e, tools/bench_ssc_pipelined.py;
+    same verdict as the render stream in bench.py): XLA does NOT
+    co-schedule the independent subgraphs — the fused program costs
+    encode + query (the sum), not max(encode, query). The flag's real
+    effect is one dispatch/host round-trip per frame instead of two.
+    Numerics are exactly the two-call sequence (the fusion only merges
+    independent programs).
 
     encode_fn(variables, imgs, projs, poses) -> qstate  (raw, unjitted)
     predict_fn: `make_grid_predictor(..., jit=False)` raw fn.

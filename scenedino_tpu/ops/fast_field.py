@@ -1036,15 +1036,16 @@ def make_pipelined_stream_step(
     renders the PREVIOUS frame's prefolded state at a novel camera while
     encoding the NEXT frame.
 
-    Why: the single-shot encode+render path runs the MXU-heavy ViT/DPT
-    encode strictly before the gather-bound render, so each phase leaves
-    the other's unit idle. In a frame STREAM the two are independent
-    (different frames), so fusing them into one jitted step lets XLA
-    interleave render gather waits with encode matmuls and drops one
-    host round-trip per frame; steady-state cost tends to
-    max(encode, render) instead of encode + render. Numerics are exactly
-    the two-call sequence (encode -> `build_fast_state`, then
-    `render_novel_view_fused`) — the fusion only reorders independent ops.
+    MEASURED VERDICT (v5e, bench.py novel_view_pipelined_stream): XLA
+    does NOT co-schedule the two independent subgraphs — the fused
+    program costs encode + render (76.1 ms/frame vs 74.8 ms for the
+    sequential single-shot), not max(encode, render). The fusion's only
+    real win is dropping one host round-trip/dispatch per frame, which
+    matters for tiny frames or high-latency links, not steady-state
+    throughput. The single-shot path stays the recommended default.
+    Numerics are exactly the two-call sequence (encode ->
+    `build_fast_state`, then `render_novel_view_fused`) — the fusion
+    only merges independent programs.
 
     Returns a RAW step fn — jit it with params/state as real arguments
     (closing big pytrees into the jit bakes them in as constants; see

@@ -2,8 +2,11 @@
 on the real TPU: sequential = encode(frame) then fast grid query
 (~18 ms + ~47 ms per frame); pipelined = one program per frame that
 queries frame N-1's state while encoding frame N
-(eval/sscbench.make_pipelined_grid_step) — steady-state should approach
-max(encode, query).
+(eval/sscbench.make_pipelined_grid_step). Expectation from the render
+stream's measured verdict (bench.py): XLA does NOT co-schedule the
+independent subgraphs, so the fused program should cost the SUM
+(encode + query), with the only win being one dispatch per frame —
+this script records whether the SSC-grid variant matches that.
 
 Run: python tools/bench_ssc_pipelined.py
 """
