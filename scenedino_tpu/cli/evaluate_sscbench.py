@@ -26,13 +26,30 @@ def make_query_fn(field, prediction_mode: str, fast: bool, segments: int = 64):
     arrive via the second argument `qstate = {"vars": ..., "state": ...}`
     — passed through jit as real arguments (NOT closed over; see
     make_grid_predictor). Split out of main() so the fast/fused path is
-    testable against the slow reference-semantics path on small models."""
+    testable against the slow reference-semantics path on small models.
+
+    prediction_mode "s4c": the S4C baseline model's field channels ARE
+    the 19 class logits (models/factory.s4c_baseline_config); the scores
+    fed to the alpha-weighted pooling are their softmax probabilities
+    (the reference pipeline alpha-weights the S4C net's class scores the
+    same way it weights scenedino's, evaluate_model_sscbench.py:727-731)."""
     import jax
 
     from scenedino_tpu.models.field import SceneField
     from scenedino_tpu.ops.fast_field import fast_query_fused
 
     def query_fn(block, qstate):
+        if prediction_mode == "s4c":
+            if fast:
+                sigma, logits = fast_query_fused(
+                    qstate["state"], field.cfg, block[0], segments=segments,
+                    seg_fn=lambda dino: jax.nn.softmax(dino.astype(jax.numpy.float32), axis=-1),
+                )
+                return sigma[None], logits[None]
+            _, _, sigma, logits = field.apply(
+                qstate["vars"], qstate["state"], block, only_density=True,
+            )
+            return sigma, jax.nn.softmax(logits.astype(jax.numpy.float32), axis=-1)
         if fast:
             # folded-head density/feature query through the banded gather,
             # with MLP + segmentation head fused into the per-segment map
@@ -71,6 +88,12 @@ def main():
     ap.add_argument("--voxel-gt", required=True)
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--variant", default="dino", choices=["dino", "dinov2"])
+    ap.add_argument("--mode", "-m", default="scenedino", choices=["scenedino", "s4c"],
+                    help="scenedino (default) or the monodepth2 S4C baseline "
+                         "(evaluate_model_sscbench.py -m s4c, :100-108,179-217)")
+    ap.add_argument("--resolution", type=int, nargs=2, default=None, metavar=("H", "W"),
+                    help="input image resolution (reference -r flag; default 192 640 "
+                         "or the saved run config's)")
     ap.add_argument("--config", default=None,
                     help="training run dir or yaml: rebuild the EXACT trained "
                          "model from its saved config (the reference re-composes "
@@ -108,7 +131,13 @@ def main():
     enable_compilation_cache()
     logging.basicConfig(level=logging.INFO)
 
-    if args.config:
+    if args.mode == "s4c":
+        # monodepth2 S4C baseline through the identical grid pipeline
+        from scenedino_tpu.models.factory import make_model, s4c_baseline_config
+
+        field = make_model(s4c_baseline_config())
+        H, W = 192, 640
+    elif args.config:
         # rebuild the exact trained model from the saved run config
         from scenedino_tpu.models.downstream import SemanticHead, SemanticHeadConfig
         from scenedino_tpu.models.factory import make_model
@@ -121,6 +150,8 @@ def main():
     else:
         field = build_model(variant=args.variant)
         H, W = 192, 640
+    if args.resolution is not None:
+        H, W = args.resolution
     dataset = SSCBenchDataset(
         data_path=args.data, voxel_gt_path=args.voxel_gt,
         target_image_size=(H, W),
@@ -150,7 +181,8 @@ def main():
         return {"vars": variables, "state": state}
 
     encode = jax.jit(encode_fn)
-    query_fn = make_query_fn(field, args.prediction_mode, fast)
+    pred_mode = "s4c" if args.mode == "s4c" else args.prediction_mode
+    query_fn = make_query_fn(field, pred_mode, fast)
 
     acc = S.SSCAccumulator()
     diag = S.SigmaDiagnostics() if args.test_alpha_cutoffs else None

@@ -41,9 +41,23 @@ def encoder_config_from_dict(conf: Dict[str, Any]) -> DinoModuleConfig:
 
 
 def make_model(conf: Dict[str, Any], downstream: Optional[nn.Module] = None) -> SceneField:
-    """Build SceneField from a model config dict (make_model parity)."""
-    enc_cfg = encoder_config_from_dict(conf.get("encoder", {}))
-    encoder = DinoModule(cfg=enc_cfg)
+    """Build SceneField from a model config dict (make_model parity).
+
+    The encoder defaults to the DINO stack; an `encoder.type` other than
+    dino routes through the legacy backbone factory (monodepth2 /
+    pixelNeRF spatial / global / ibrnet — backbone_util.make_backbone,
+    reference scenedino/models/backbones/backbone_util.py:7-19), which is
+    how the S4C baseline model (monodepth2 encoder,
+    evaluate_model_sscbench.py:195-217) is constructed."""
+    enc_conf = conf.get("encoder", {})
+    enc_type = enc_conf.get("type", "dino")
+    if enc_type in ("dino", "dinov2"):
+        enc_cfg = encoder_config_from_dict(enc_conf)
+        encoder = DinoModule(cfg=enc_cfg)
+    else:
+        from scenedino_tpu.models.backbone_util import make_backbone
+
+        encoder = make_backbone(enc_conf)
     code = conf.get("code", {})
     fcfg = FieldConfig(
         z_near=conf.get("z_near", 3.0),
@@ -112,3 +126,37 @@ def scenedino_dinov2_config() -> Dict[str, Any]:
     conf = {**SCENEDINO_KITTI_360}
     conf["encoder"] = {**conf["encoder"], "version": "v2", "separate_gt_version": "v2"}
     return conf
+
+
+def s4c_baseline_config(n_classes: int = 19) -> Dict[str, Any]:
+    """The S4C baseline model the reference's SSC evaluator builds for
+    `-m s4c` (evaluate_model_sscbench.py:179-217): monodepth2 encoder
+    (d_out 64), n_blocks=0 / d_hidden=64 field head, code_mode "z",
+    learn_empty off. The S4C net's `segmentation_mode: panoptic_deeplab`
+    head emits per-point class logits from the field MLP; here those
+    logits ARE the field's feature channels (dino_dims = n_classes), so
+    the whole fast/slow SSC query machinery (fold, banded gather,
+    alpha-weighted pooling) applies unchanged — `expand_dim` is identity
+    for legacy backbones and the evaluator softmaxes the channels into
+    the 19-class probabilities that the reference alpha-weights.
+
+    NOTE: the S4C BTSNet itself lives in the external S4C repo (the
+    reference imports `models.bts.model` from outside its own tree);
+    this config reproduces the evaluator's contract
+    (net.forward(pts, predict_segmentation=True) -> sigma + 19-class
+    scores on the identical pooling/confusion pipeline)."""
+    return {
+        "predict_dino": True,
+        "dino_dims": n_classes,
+        "inv_z": True,
+        "learn_empty": False,
+        "code_mode": "z",
+        "z_near": 3.0,
+        "z_far": 80.0,
+        "encoder": {"type": "monodepth2", "d_out": 64, "scales": (0, 1, 2, 3)},
+        "code": {"num_freqs": 6, "freq_factor": 1.5, "include_input": True},
+        "decoder_heads": [
+            {"type": "resnet", "name": "normal_head", "args": {"n_blocks": 0, "d_hidden": 64}}
+        ],
+        "final_prediction_head": "normal_head",
+    }

@@ -19,14 +19,23 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _reflect_pad1(x):
+    """ReflectionPad2d(1) twin for NHWC tensors — the reference's Conv3x3
+    pads with reflection by default (prediction_heads/layers.py:35-48,
+    use_refl=True), so converted monodepth2/S4C weights see the same
+    border pixels here."""
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+
+
 class ConvBlock(nn.Module):
-    """3x3 conv (reflection-pad in monodepth2; zero-pad here) + ELU."""
+    """Reflection-pad 3x3 conv + ELU (monodepth2 ConvBlock = Conv3x3
+    (reflect) + ELU, prediction_heads/layers.py:15-48)."""
 
     out: int
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out, (3, 3), padding=((1, 1), (1, 1)))(x)
+        x = nn.Conv(self.out, (3, 3), padding="VALID")(_reflect_pad1(x))
         return nn.elu(x)
 
 
@@ -122,8 +131,9 @@ class Monodepth2Decoder(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(ch_dec[i], name=f"upconv_{i}_1")(x)
             if i in self.scales:
-                outputs[i] = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)),
-                                     name=f"dispconv_{i}")(x)
+                # dispconv is a bare Conv3x3 (reflection pad, no activation)
+                outputs[i] = nn.Conv(self.d_out, (3, 3), padding="VALID",
+                                     name=f"dispconv_{i}")(_reflect_pad1(x))
         return outputs
 
 

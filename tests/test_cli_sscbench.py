@@ -107,6 +107,49 @@ def test_evaluate_sscbench_cli_on_stage2_run(ssc_root, stage2_run, capsys, monke
     assert table["sec_per_frame"] > 0
 
 
+def test_evaluate_sscbench_cli_s4c_baseline(ssc_root, tmp_path, capsys, monkeypatch):
+    """`-m s4c` drives the monodepth2 S4C baseline model through the same
+    voxel pipeline (evaluate_model_sscbench.py:100-108,179-217): build the
+    baseline field, save an orbax checkpoint, evaluate one frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from scenedino_tpu.cli import evaluate_sscbench
+    from scenedino_tpu.models.factory import make_model, s4c_baseline_config
+    from scenedino_tpu.utils.checkpoint import save_checkpoint
+
+    Ht, Wt = 24, 48
+    field = make_model(s4c_baseline_config())
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (1, 1, 3, Ht, Wt)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[0.7, 0.0, 0.0], [0.0, 2.3, 0.0], [0.0, 0.0, 1.0]]), (1, 1, 3, 3)
+    )
+    variables = field.init(
+        {"params": jax.random.PRNGKey(1), "augment": jax.random.PRNGKey(2)},
+        imgs, projs, poses, method=type(field).warmup,
+    )
+    ckpt = tmp_path / "s4c_ckpt"
+    save_checkpoint(str(ckpt), {"params": variables["params"]})
+
+    monkeypatch.setattr("sys.argv", [
+        "evaluate_sscbench",
+        "--data", str(ssc_root),
+        "--voxel-gt", str(ssc_root / "voxel_gt"),
+        "--ckpt", str(ckpt),
+        "--mode", "s4c",
+        "--resolution", str(Ht), str(Wt),
+        "--max-frames", "1",
+    ])
+    evaluate_sscbench.main()
+    captured = capsys.readouterr().out
+    table = json.loads(captured[captured.index("{"):])
+    for size in ("12.8", "25.6", "51.2"):
+        for k in ("occ_iou", "direct_miou", "hungarian_miou"):
+            v = table[size][k]
+            assert np.isfinite(v) and 0.0 <= v <= 1.0, (size, k, v)
+
+
 def test_generate_ply_sequence_cli_pipelined(ssc_root, stage2_run, tmp_path, monkeypatch):
     from scenedino_tpu.cli import generate_ply_sequence
 
