@@ -105,18 +105,24 @@ def main():
         os.makedirs(os.path.join(args.out, str(int(size))), exist_ok=True)
 
     from scenedino_tpu.cli.evaluate_sscbench import make_query_fn
-    from scenedino_tpu.ops.fast_field import build_fast_state
+    from scenedino_tpu.ops.fast_field import encode_prefolded
 
     fast = not args.slow
 
     def encode_fn(variables, imgs, projs, poses):
         poses = jnp.linalg.inv(poses[:, :1]) @ poses
+        if fast:
+            # W_feat folded into the encoder's last conv (exact; skips the
+            # full-width conv + separate fold — ops/fast_field.encode_prefolded)
+            fs = encode_prefolded(
+                field, variables, imgs, projs, poses,
+                ids_encoder=(0,), ids_render=(0,),
+            )
+            return {"vars": variables, "state": fs}
         state = field.apply(
             variables, imgs, projs, poses, ids_encoder=(0,), ids_render=(0,),
             method=SceneField.encode,
         )
-        if fast:
-            state = build_fast_state(variables, state, field.cfg)
         return {"vars": variables, "state": state}
 
     encode = jax.jit(encode_fn)

@@ -49,6 +49,43 @@ def _resize_bilinear(x, size: Tuple[int, int], align_corners: bool):
     return torch_interpolate(x, (nh, nw), mode="bilinear")
 
 
+class _FoldableConv3x3(nn.Module):
+    """3x3 same-pad conv whose OUTPUT channels can be linearly folded with a
+    (features, d) matrix at call time: conv(x, K) @ W == conv(x, K @ W), so
+    passing `fold` computes the d-channel result directly — the serving-path
+    trick that turns the field head's W_feat fold (ops/fast_field.py
+    build_fast_state) into a FREE rewrite of this conv's kernel instead of a
+    full-width conv + a separate per-pixel matmul over the 2x-res grid.
+
+    Param tree path/shapes identical to the nn.Conv it replaces
+    ({kernel (3, 3, C, features), bias (features,)}), so checkpoints are
+    interchangeable."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, fold: Optional[jnp.ndarray] = None):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, C, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if fold is not None:
+            kernel = jnp.einsum(
+                "hwio,od->hwid", kernel.astype(jnp.float32), fold.astype(jnp.float32),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            bias = bias.astype(jnp.float32) @ fold.astype(jnp.float32)
+        if self.dtype is not None:
+            x, kernel, bias = (a.astype(self.dtype) for a in (x, kernel, bias))
+        out = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias
+
+
 class PreActResidualConvUnit(nn.Module):
     """Pre-activated residual conv unit (dpt_head.py:76-122)."""
 
@@ -98,7 +135,7 @@ class DPTHead(nn.Module):
     dtype: Any = None  # compute dtype (bf16 inference); params stay fp32
 
     @nn.compact
-    def __call__(self, inputs):
+    def __call__(self, inputs, fold_matrix: Optional[jnp.ndarray] = None):
         dt = self.dtype
         ch = [min(self.d_out, c) for c in self.post_process_channels]
         feats = []
@@ -122,7 +159,7 @@ class DPTHead(nn.Module):
         # output head (dpt_head.py:165-180)
         out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="head_conv0")(out)
         out = nn.ConvTranspose(self.d_out, (2, 2), strides=(2, 2), transpose_kernel=True, dtype=dt, name="head_deconv")(out)
-        out = nn.Conv(self.d_out, (3, 3), padding=((1, 1), (1, 1)), dtype=dt, name="head_conv1")(out)
+        out = _FoldableConv3x3(self.d_out, dtype=dt, name="head_conv1")(out, fold=fold_matrix)
         return [out.transpose(0, 3, 1, 2)]  # back to NCHW
 
 

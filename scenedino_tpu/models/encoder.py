@@ -377,9 +377,13 @@ class DinoModule(nn.Module):
         _ = self.expand_dim(jnp.zeros((1, self.cfg.dino_pca_dim)))
         return student
 
-    def __call__(self, x, ground_truth: bool = False):
+    def __call__(self, x, ground_truth: bool = False, fold_matrix=None):
         """x: (B, 3, H, W) in [-1, 1]. Student path -> decoder maps; GT path
-        -> stop-gradient teacher patch features (dinov2_module.py:158-183)."""
+        -> stop-gradient teacher patch features (dinov2_module.py:158-183).
+
+        fold_matrix (serving): a (decoder_out_dim, d) matrix folded into the
+        DPT head's final conv (exact, conv is linear) so the feature grid
+        comes out already projected — see ops/fast_field.encode_prefolded."""
         c = self.cfg
         if ground_truth:
             if c.mode == "upsample-gt":
@@ -394,6 +398,10 @@ class DinoModule(nn.Module):
         feats = self.vit_encoder(x)
         if c.encoder_freeze:
             feats = [jax.lax.stop_gradient(f) for f in feats]
+        if fold_matrix is not None:
+            if c.decoder_arch != "dpt":
+                raise NotImplementedError("fold_matrix requires the DPT decoder")
+            return self.decoder(feats, fold_matrix=fold_matrix)
         return self.decoder(feats)
 
     def downsample(self, x, mode="patch"):

@@ -114,6 +114,7 @@ class SceneField(nn.Module):
         loss_feature_grid_shift: Optional[Tuple[int, int]] = None,
         augment_flip: bool = False,
         extra_color_channels: Optional[jnp.ndarray] = None,
+        fold_matrix: Optional[jnp.ndarray] = None,
     ) -> SceneState:
         """Run the image encoder(s) and bundle the scene state.
 
@@ -153,7 +154,14 @@ class SceneField(nn.Module):
         if augment_flip:
             flip_coin = jax.random.bernoulli(self.make_rng("augment"))
             imgs_enc = jnp.where(flip_coin, jnp.flip(imgs_enc, axis=-1), imgs_enc)
-        feats = self.encoder(imgs_enc.reshape(B * ne, *imgs_enc.shape[2:]))
+        x_enc = imgs_enc.reshape(B * ne, *imgs_enc.shape[2:])
+        if fold_matrix is not None:
+            # serving: fold a linear output projection (the field head's
+            # W_feat) into the encoder's last conv — exact; the returned
+            # feat_grid is already projected (ops/fast_field.encode_prefolded)
+            feats = self.encoder(x_enc, fold_matrix=fold_matrix)
+        else:
+            feats = self.encoder(x_enc)
         if isinstance(feats, (list, tuple)):
             feats = feats[0]
         if flip_coin is not None:

@@ -111,6 +111,76 @@ def build_fast_state(
     )
 
 
+def encode_prefolded(
+    field,
+    params,
+    imgs: jnp.ndarray,  # (B, V, 3, H, W) in [-1, 1]
+    projs: jnp.ndarray,
+    poses_c2w: jnp.ndarray,
+    ids_encoder=(0,),
+    ids_render=None,
+    head_name: str = "heads_normal_head",
+    compute_dtype=jnp.bfloat16,
+) -> FastFieldState:
+    """encode + build_fast_state with W_feat folded INTO the DPT head's
+    final conv (exact — the conv is linear, so conv(x, K) @ W ==
+    conv(x, K @ W); models/dpt.py _FoldableConv3x3).
+
+    Why (serving): the standard path computes head_conv1 at full width
+    over the 2x-res grid (~583 GFLOP for ViT-B/8 @ 192x640: 384x1280 x
+    3x3 x 256->256), WRITES the 256-ch grid (251 MB bf16), re-reads it,
+    and applies W_feat as a separate per-pixel matmul. Folding W into the
+    conv kernel computes the 128-ch folded grid DIRECTLY: half the
+    conv FLOPs and ~375 MB less HBM traffic — ~2.4 ms off every encode
+    (v5e; encode 13.9 -> ~11.5 ms). Numerics match
+    encode + build_fast_state up to fp reassociation (tested).
+
+    Falls back to the two-step path for non-DPT encoders. Raises like
+    build_fast_state when the head/config is not foldable.
+    """
+    from scenedino_tpu.models.field import SceneField
+
+    cfg = field.cfg
+    if not can_fold(params, cfg, head_name, head_confs=getattr(field, "head_confs", None)):
+        raise ValueError(
+            "encode_prefolded: head/config not foldable (needs the shipped "
+            "n_blocks=0 ResnetFC single head, sample_color + predict_dino, "
+            "learn_empty off) — use the generic renderer (--slow)"
+        )
+    enc_params = params.get("params", {}).get("encoder", {})
+    dec = enc_params.get("decoder") if isinstance(enc_params, dict) else None
+    if not (isinstance(dec, dict) and "head_conv1" in dec):
+        state = field.apply(
+            params, imgs, projs, poses_c2w, ids_encoder=tuple(ids_encoder),
+            ids_render=tuple(ids_render) if ids_render is not None else None,
+            method=SceneField.encode,
+        )
+        return build_fast_state(params, state, cfg, head_name, compute_dtype)
+
+    head = params["params"][head_name]
+    k1 = jnp.asarray(head["lin_in"]["kernel"])  # (C + code, d_hidden)
+    C = dec["head_conv1"]["kernel"].shape[-1]
+    w_feat = k1[:C]
+    state = field.apply(
+        params, imgs, projs, poses_c2w, ids_encoder=tuple(ids_encoder),
+        ids_render=tuple(ids_render) if ids_render is not None else None,
+        fold_matrix=w_feat, method=SceneField.encode,
+    )
+    # feat_grid is ALREADY folded: (B, V, d_hidden, Hg, Wg)
+    return FastFieldState(
+        folded_grid=state.feat_grid.transpose(0, 1, 3, 4, 2).astype(compute_dtype),
+        w_code=k1[C:].astype(compute_dtype),
+        b1=jnp.asarray(head["lin_in"]["bias"]).astype(jnp.float32),
+        w2=jnp.asarray(head["lin_out"]["kernel"]).astype(compute_dtype),
+        b2=jnp.asarray(head["lin_out"]["bias"]).astype(jnp.float32),
+        feat_ks=state.feat_ks,
+        feat_w2c=state.feat_w2c,
+        color_imgs=state.color_imgs.transpose(0, 1, 3, 4, 2).astype(compute_dtype),
+        color_ks=state.color_ks,
+        color_w2c=state.color_w2c,
+    )
+
+
 def can_fold(params, cfg: FieldConfig, head_name: str = "heads_normal_head",
              head_confs=None) -> bool:
     """True when `build_fast_state`'s linear-fold applies: the shipped
@@ -600,16 +670,17 @@ def render_novel_view_probe(
     width: int,
     key,
     n_probe: int = 16,
-    n_fine: int = 12,
-    n_uniform: int = 4,
-    probe_stride: int = 2,
+    n_fine: int = 10,
+    n_uniform: int = 2,
+    probe_stride: int = 4,
     lindisp: bool = True,
     hard_alpha_cap: bool = True,
     band: int = 64,
     want_rgb: bool = True,
     rows_per_seg: int = 4,
 ):
-    """Two-pass probe-guided novel-view render (empty-space skipping).
+    """Two-pass probe-guided novel-view render (empty-space skipping) —
+    the BLESSED serving default (round 3).
 
     SERVING MODE — different sample placement than `render_novel_view`
     (which matches the reference's stratified coarse pass): this is the
@@ -628,9 +699,15 @@ def render_novel_view_probe(
         then renders through the fused per-segment pipeline.
 
     Per-pixel work: n_probe/s^2 + n_fine + n_uniform points vs the
-    single-pass n_coarse (defaults: 16/4 + 12 + 4 = 20 vs 32). Quality on
-    real scenes is typically BETTER than 32 uniform samples because the
-    fine samples concentrate at the surface.
+    single-pass n_coarse (defaults: 16/16 + 10 + 2 = 13 vs 32). Quality
+    is BOUNDED, not exact: tests/test_probe_quality.py renders an
+    analytic wall scene against a 256-sample gold and asserts these
+    defaults beat the exact 32-uniform path at median AND p95 depth
+    error (measured: probe med 0.14 / p95 4.09 vs exact-32 med 0.32 /
+    p95 4.89 on the 3-80 m range) with feature cosine >= 0.995 — the
+    fine samples concentrate at the surface, where 32 uniform strata are
+    noisy. Measured v5e, 192x640 (tools/bench_probe_parts.py): 30.2 ms
+    render-only (4.08 M rays/s); + 13.9 ms encode = 44 ms full path.
 
     Returns (depth (H, W), dino (H, W, d_out-1), rgb (H, W, 3) | None).
     """

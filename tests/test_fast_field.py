@@ -462,3 +462,62 @@ def test_pipelined_stream_step_matches_two_call_sequence():
             assert a is None and b is None
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+
+
+def test_encode_prefolded_matches_two_step_fold():
+    """encode_prefolded (W_feat folded into the DPT head's final conv,
+    models/dpt.py _FoldableConv3x3) produces the SAME FastFieldState as
+    encode + build_fast_state, up to fp reassociation — and the same
+    novel-view render. Uses the real (tiny) flagship DPT encoder."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _flagship
+    from scenedino_tpu.ops.fast_field import (
+        encode_prefolded,
+        render_novel_view_fused,
+    )
+
+    Ht, Wt = 32, 64
+    field = _flagship((Ht, Wt), tiny=True)
+    cfg = field.cfg
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (1, 1, 3, Ht, Wt)) * 2 - 1
+    poses = jnp.broadcast_to(jnp.eye(4), (1, 1, 4, 4))
+    projs = jnp.broadcast_to(
+        jnp.array([[0.7, 0, 0], [0, 2.3, 0], [0, 0, 1.0]]), (1, 1, 3, 3)
+    )
+    params = field.init(
+        {"params": key, "augment": key}, imgs, projs, poses, method=SceneField.warmup
+    )
+
+    with jax.default_matmul_precision("highest"):
+        state = field.apply(
+            params, imgs, projs, poses, ids_encoder=(0,), method=SceneField.encode
+        )
+        fs_ref = build_fast_state(params, state, cfg, compute_dtype=jnp.float32)
+        fs_pre = encode_prefolded(
+            field, params, imgs, projs, poses, compute_dtype=jnp.float32
+        )
+
+    scale = np.abs(np.asarray(fs_ref.folded_grid)).max()
+    np.testing.assert_allclose(
+        np.asarray(fs_pre.folded_grid), np.asarray(fs_ref.folded_grid),
+        atol=2e-4 * max(scale, 1.0), rtol=2e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(fs_pre.w_code), np.asarray(fs_ref.w_code))
+    np.testing.assert_array_equal(np.asarray(fs_pre.color_imgs), np.asarray(fs_ref.color_imgs))
+
+    c, s = np.cos(0.05), np.sin(0.05)
+    rot = jnp.asarray(
+        np.array([[c, 0, s, 0.2], [0, 1, 0, -0.1], [-s, 0, c, 0.1], [0, 0, 0, 1]], np.float32)
+    )
+    with jax.default_matmul_precision("highest"):
+        d1, f1, r1 = render_novel_view_fused(
+            fs_ref, cfg, rot, projs[0, 0], Ht, Wt, key, n_coarse=8, band=8
+        )
+        d2, f2, r2 = render_novel_view_fused(
+            fs_pre, cfg, rot, projs[0, 0], Ht, Wt, key, n_coarse=8, band=8
+        )
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(r1), atol=1e-3)
