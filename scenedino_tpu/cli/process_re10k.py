@@ -8,9 +8,16 @@ Behavioral parity targets (`/root/reference/datasets/realestate10k/`):
   * `mine-split` — `process_mine_split.py`: map the Tulsiani et al.
     test/validation_pairs.json entries onto (sequence, frame-index) split
     lines via searchsorted on the pickled timestamps.
-  * downloading the videos themselves (`download_realestate10k.py`,
-    yt-dlp + ffmpeg) needs network egress — `download` raises with
-    instructions.
+  * `download` — `download_realestate10k.py`: everything EXCEPT the
+    fetch runs on any box: parse all per-sequence camera txts, group
+    sequences by YouTube URL, convert the microsecond timestamps to
+    ffmpeg `-ss HH:MM:SS.mmm` seek strings (reference `process()`:38-47)
+    and write a `download_manifest_<mode>.json` worklist (one entry per
+    video: url, sequences, per-frame seek + output path). When yt-dlp
+    AND ffmpeg are on PATH the worklist is then executed (360p stream,
+    failures appended to `failed_videos_<mode>.txt` exactly like the
+    reference); otherwise the command stops after the manifest with
+    instructions — only the fetch itself needs egress.
 
 Usage:
   python -m scenedino_tpu.cli.process_re10k process -m train -d <re10k_root>
@@ -90,12 +97,97 @@ def run_mine_split(args):
         )
 
 
-def run_download(args):
-    raise NotImplementedError(
-        "downloading RealEstate10K needs network egress (yt-dlp + ffmpeg; "
-        "see the reference download_realestate10k.py). Download the videos "
-        "elsewhere, then run the `process` subcommand on the result."
+def _seek_string(timestamp_us: int) -> str:
+    """RE10K timestamp (microseconds) -> ffmpeg HH:MM:SS.mmm seek
+    (download_realestate10k.py:38-47: `int(timestamp / 1000)` then
+    hour/min/sec/milli splits of the millisecond value)."""
+    ms = int(timestamp_us / 1000)
+    return (
+        f"{int(ms / 3600000):02d}:{int(ms % 3600000 / 60000):02d}:"
+        f"{int(ms % 3600000 % 60000 / 1000):02d}.{int(ms % 3600000 % 60000 % 1000):03d}"
     )
+
+
+def build_download_manifest(mode_path: Path, out_root: Path):
+    """Group sequences by video URL into an executable worklist
+    (download_realestate10k.py:60-102 DataDownloader.__init__ semantics:
+    first line of each txt is the URL, remaining lines start with the
+    frame timestamp)."""
+    videos = {}
+    for txt_file in sorted(mode_path.glob("*.txt")):
+        lines = txt_file.read_text().splitlines()
+        if not lines:
+            continue
+        url = lines[0].strip()
+        timestamps = [int(l.split(" ")[0]) for l in lines[1:] if l.strip()]
+        entry = videos.setdefault(url, {"url": url, "sequences": []})
+        entry["sequences"].append(
+            {
+                "name": txt_file.stem,
+                "frames": [
+                    {
+                        "timestamp": t,
+                        "seek": _seek_string(t),
+                        "out": str(out_root / txt_file.stem / f"{t}.jpg"),
+                    }
+                    for t in timestamps
+                ],
+            }
+        )
+    return list(videos.values())
+
+
+def run_download(args):
+    import shutil
+    import subprocess
+
+    data_path = Path(args.data_path)
+    mode = args.mode
+    mode_path = data_path / mode
+    if not mode_path.is_dir():
+        raise FileNotFoundError(f"no camera-txt dir at {mode_path}")
+    out_root = Path(args.out_path) if args.out_path else data_path / "frames" / mode
+    manifest = build_download_manifest(mode_path, out_root)
+    manifest_path = data_path / f"download_manifest_{mode}.json"
+    manifest_path.write_text(json.dumps(manifest, indent=1))
+    n_seqs = sum(len(v["sequences"]) for v in manifest)
+    print(f"wrote {manifest_path}: {len(manifest)} videos / {n_seqs} sequences")
+
+    ytdlp, ffmpeg = shutil.which("yt-dlp"), shutil.which("ffmpeg")
+    if not (ytdlp and ffmpeg):
+        print(
+            "yt-dlp and/or ffmpeg not on PATH — stopping after the manifest "
+            "(the fetch needs network egress). On a connected box, re-run "
+            "this command or execute the manifest directly: per video, "
+            "`yt-dlp -f 'bv*[height<=360]' -o <tmp> <url>`, then per frame "
+            "`ffmpeg -ss <seek> -i <tmp> -vframes 1 -f image2 <out>`, then "
+            "run the `process` subcommand."
+        )
+        return
+    failed_path = data_path / f"failed_videos_{mode}.txt"
+    tmp = data_path / f"current_{mode}.mp4"
+    for video in manifest:
+        tmp.unlink(missing_ok=True)
+        try:
+            subprocess.run(
+                [ytdlp, "-f", "bv*[height<=360]", "-o", str(tmp), video["url"]],
+                check=True,
+            )
+        except subprocess.CalledProcessError:
+            # reference behavior: record every sequence of the failed video
+            with open(failed_path, "a") as f:
+                for seq in video["sequences"]:
+                    f.write(seq["name"] + "\n")
+            continue
+        for seq in video["sequences"]:
+            for frame in seq["frames"]:
+                Path(frame["out"]).parent.mkdir(parents=True, exist_ok=True)
+                subprocess.run(
+                    [ffmpeg, "-ss", frame["seek"], "-i", str(tmp), "-vframes",
+                     "1", "-f", "image2", frame["out"]],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+    tmp.unlink(missing_ok=True)
 
 
 def main(argv=None):
@@ -113,7 +205,13 @@ def main(argv=None):
     p.add_argument("--split_path", "-s", required=True)
     p.set_defaults(fn=run_mine_split)
 
-    p = sub.add_parser("download", help="(gated) video download")
+    p = sub.add_parser(
+        "download",
+        help="build the video download manifest; fetch when yt-dlp+ffmpeg exist",
+    )
+    p.add_argument("--mode", "-m", required=True)
+    p.add_argument("--data_path", "-d", required=True)
+    p.add_argument("--out_path", "-o", default=None)
     p.set_defaults(fn=run_download)
 
     args = ap.parse_args(argv)

@@ -113,10 +113,42 @@ def test_re10k_process_and_mine_split(tmp_path):
     assert (out / "val_files.txt").read_text() == "seqA 1"
 
 
-def test_re10k_download_gated():
-    import pytest
+def test_re10k_download_writes_manifest(tmp_path, monkeypatch):
+    """`download` builds the full worklist (url grouping, microsecond ->
+    ffmpeg HH:MM:SS.mmm seeks per download_realestate10k.py:38-47, output
+    frame paths) and stops cleanly when yt-dlp/ffmpeg are absent — only
+    the fetch itself needs egress."""
+    import json
+    import shutil
 
     from scenedino_tpu.cli.process_re10k import main as re10k_main
 
-    with pytest.raises(NotImplementedError):
-        re10k_main(["download"])
+    root = tmp_path / "re10k"
+    (root / "train").mkdir(parents=True)
+
+    def write_seq(name, url, timestamps):
+        lines = [url]
+        for t in timestamps:
+            vals = [str(t)] + [f"{v:.6f}" for v in np.arange(18) * 0.1]
+            lines.append(" ".join(vals))
+        (root / "train" / f"{name}.txt").write_text("\n".join(lines))
+
+    # two sequences share one video (the grouping the reference's Data
+    # class performs), a third has its own
+    write_seq("seqA", "https://example/v1", [3_723_456_000, 100_000])
+    write_seq("seqB", "https://example/v1", [500_000])
+    write_seq("seqC", "https://example/v2", [61_000_000])
+
+    monkeypatch.setattr(shutil, "which", lambda _: None)  # no yt-dlp/ffmpeg
+    re10k_main(["download", "-m", "train", "-d", str(root)])
+
+    manifest = json.loads((root / "download_manifest_train.json").read_text())
+    by_url = {v["url"]: v for v in manifest}
+    assert set(by_url) == {"https://example/v1", "https://example/v2"}
+    assert [s["name"] for s in by_url["https://example/v1"]["sequences"]] == ["seqA", "seqB"]
+    fA = by_url["https://example/v1"]["sequences"][0]["frames"]
+    # 3_723_456_000 us = 3_723_456 ms = 1h 2m 3s 456ms
+    assert fA[0]["seek"] == "01:02:03.456"
+    assert fA[1]["seek"] == "00:00:00.100"
+    assert fA[0]["out"].endswith("frames/train/seqA/3723456000.jpg")
+    assert by_url["https://example/v2"]["sequences"][0]["frames"][0]["seek"] == "00:01:01.000"
