@@ -36,9 +36,12 @@ def _zn(z):
     return 2.0 * ((1.0 / np.maximum(z, 1e-6) - 1.0 / 80.0) / (1.0 / 3.0 - 1.0 / 80.0)) - 1.0
 
 
-def _analytic_wall_state(cfg):
+def _analytic_wall_state(cfg, dstar_fn=None):
     uu, vv = np.meshgrid(np.linspace(-1, 1, WG), np.linspace(-1, 1, HG))
-    dstar = 10.0 + 6.0 * np.sin(2.2 * uu) * np.cos(1.7 * vv) + 3.0 * uu  # ~1..19 m
+    if dstar_fn is None:
+        dstar = 10.0 + 6.0 * np.sin(2.2 * uu) * np.cos(1.7 * vv) + 3.0 * uu  # ~1..19 m
+    else:
+        dstar = dstar_fn(uu, vv)
     folded = np.zeros((1, 1, HG, WG, D_HID), np.float32)
     folded[0, 0, :, :, 0] = BETA * _zn(dstar)
     folded[0, 0, :, :, 1] = 1.0 + 0.5 * np.sin(3 * uu) * np.cos(2 * vv)
@@ -112,6 +115,47 @@ def test_probe_serving_defaults_bound_error_vs_exact():
 
     assert np.percentile(np.abs(rp - rg), 95) < 0.005
     assert np.abs(rp - rg).max() < 0.08
+
+
+def test_probe_serving_bound_holds_with_depth_discontinuities():
+    """Harder scene for the blessed mode: a foreground slab (5.5 m) over a
+    smooth far wall (10-19 m) — sharp depth edges and a bimodal per-tile
+    density are exactly where a strided probe could misplace its
+    importance samples. The same relative bound must hold: probe no worse
+    than the exact 32-uniform path at median and p95 depth error vs the
+    256-sample gold."""
+    cfg = FieldConfig(dino_dims=4)
+
+    def dstar_fn(uu, vv):
+        far = 14.0 + 4.0 * np.sin(2.0 * uu) * np.cos(1.3 * vv)
+        slab = (np.abs(uu + 0.25) < 0.28) & (np.abs(vv - 0.1) < 0.45)
+        return np.where(slab, 5.5, far)
+
+    fs, K = _analytic_wall_state(cfg, dstar_fn)
+    c, s = np.cos(0.03), np.sin(0.03)
+    pose = jnp.asarray(
+        np.array([[c, 0, s, 0.2], [0, 1, 0, -0.05], [-s, 0, c, 0.0], [0, 0, 0, 1]], np.float32)
+    )
+    key = jax.random.PRNGKey(0)
+
+    dg, fg, _ = render_novel_view_fused(fs, cfg, pose, K, H, W, key, n_coarse=256, band=32)
+    de, _, _ = render_novel_view_fused(fs, cfg, pose, K, H, W, key, n_coarse=32, band=32)
+    dp, fp, _ = render_novel_view_probe(fs, cfg, pose, K, H, W, key, band=32)
+    dg, fg, de, dp, fp = map(np.asarray, (dg, fg, de, dp, fp))
+
+    err_exact = np.abs(de - dg)
+    err_probe = np.abs(dp - dg)
+    assert np.median(err_probe) <= np.median(err_exact) * 1.1, (
+        np.median(err_probe), np.median(err_exact))
+    assert np.percentile(err_probe, 95) <= np.percentile(err_exact, 95) * 1.1, (
+        np.percentile(err_probe, 95), np.percentile(err_exact, 95))
+
+    cos = (fp * fg).sum(-1) / np.maximum(
+        np.linalg.norm(fp, axis=-1) * np.linalg.norm(fg, axis=-1), 1e-9
+    )
+    assert np.median(cos) > 0.999
+    # depth-edge pixels may soften; the bulk must stay aligned
+    assert np.percentile(cos, 5) > 0.99, np.percentile(cos, 5)
 
 
 def test_probe_serving_shapes_and_finiteness_at_flagship_geometry():
