@@ -100,6 +100,7 @@ def make_datasets(config: dict) -> Tuple:
             length=config.get("length", 64),
             n_views=config.get("n_views", 8),
             image_size=tuple(config.get("image_size", (48, 96))),
+            textured=config.get("textured", True),
         )
         return ds, ds
     raise ValueError(f"unknown dataset type: {kind}")

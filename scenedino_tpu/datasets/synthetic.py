@@ -13,10 +13,17 @@ from typing import Dict, Tuple
 import numpy as np
 
 
-def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color):
+def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color, textured=True):
     """Ray-march a scene of axis-aligned boxes + ground plane. Returns
     (rgb (3, H, W) in [0,1], depth (H, W), seg (H, W) int: 0=ground,
-    1=sky, 2+k=box k)."""
+    1=sky, 2+k=box k).
+
+    textured: modulate surface albedo by a function of the 3D hit POINT
+    (world coordinates), so the pattern is consistent across views. Flat
+    lambertian surfaces make depth photometrically unidentifiable inside
+    regions (only occlusion edges + the smoothness prior constrain it);
+    world-anchored texture makes multi-view depth a well-posed target, so
+    convergence runs can assert depth against the analytic GT."""
     xs = (np.arange(W) + 0.5) / W * 2 - 1
     ys = (np.arange(H) + 0.5) / H * 2 - 1
     gx, gy = np.meshgrid(xs, ys)
@@ -30,11 +37,24 @@ def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color):
     depth = np.full((H, W), 1e5, np.float32)
     seg = np.full((H, W), 1, np.int32)
 
+    def _albedo_mod(t, mask, freq):
+        """Smooth world-anchored pattern at the hit points o + t*d in
+        [1-a, 1+a] (smooth, not a checker: band-limited so the 2x-grid
+        encoder can represent it at these resolutions)."""
+        if not textured:
+            return np.ones((mask.sum(),), np.float32)
+        p = o[None, :] + t[mask][:, None] * d[mask]
+        return (
+            1.0
+            + 0.25 * np.sin(freq * p[:, 0]) * np.cos(freq * p[:, 2])
+            + 0.15 * np.sin(1.7 * freq * p[:, 1] + 1.3)
+        ).astype(np.float32)
+
     # ground plane y = 1.5 (y down)
     t_g = (1.5 - o[1]) / np.where(np.abs(d[..., 1]) > 1e-6, d[..., 1], 1e-6)
     hit_g = (t_g > 0.1) & (t_g < depth)
     depth = np.where(hit_g, t_g, depth)
-    rgb[hit_g] = np.array([0.4, 0.35, 0.3])
+    rgb[hit_g] = np.array([0.4, 0.35, 0.3]) * _albedo_mod(t_g, hit_g, 1.9)[:, None]
     seg[hit_g] = 0
 
     for bi, (center, size, color) in enumerate(boxes):
@@ -47,13 +67,19 @@ def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color):
         tmax = np.maximum(t0, t1).min(-1)
         hit = (tmax > tmin) & (tmax > 0.1) & (tmin < depth) & (tmin > 0.1)
         depth = np.where(hit, tmin, depth)
-        rgb[hit] = color
+        rgb[hit] = color * _albedo_mod(tmin, hit, 2.6)[:, None]
         seg[hit] = 2 + bi
 
+    rgb = np.clip(rgb, 0.0, 1.0)
     sky = depth > 9e4
     rgb[sky] = np.array([0.6, 0.75, 0.95])
     seg[sky] = 1
-    depth = np.where(sky, 0.0, depth)
+    # GT depth valid only within the renderable range, like lidar GT
+    # (KITTI velodyne returns top out near ~80 m; the reference's depth
+    # metrics clamp PRED to 80 and mask gt == 0 — metrics.py:59-60).
+    # Near-horizon ground hits run to ~1e5 m here; leaving them in the GT
+    # poisons abs_rel with pixels no bounded-z_far field could ever match.
+    depth = np.where(sky | (depth > 80.0), 0.0, depth)
     return rgb.transpose(2, 0, 1), depth, seg
 
 
@@ -66,6 +92,7 @@ class SyntheticMultiViewDataset:
     n_views: int = 8
     image_size: Tuple[int, int] = (48, 96)
     seed: int = 0
+    textured: bool = True
 
     def __post_init__(self):
         self.K = np.array([[1.1, 0, 0], [0, 1.1 * self.image_size[1] / self.image_size[0] / 2, 0], [0, 0, 1]], np.float32)
@@ -95,7 +122,9 @@ class SyntheticMultiViewDataset:
                 pose = np.eye(4, dtype=np.float32)
                 pose[0, 3] = lr * 0.54  # stereo baseline
                 pose[2, 3] = t * 1.2  # forward motion
-                rgb, depth, seg = _render_scene(pose, self.K, H, W, boxes, rng)
+                rgb, depth, seg = _render_scene(
+                    pose, self.K, H, W, boxes, rng, textured=self.textured
+                )
                 if t == 0 and lr == 0:
                     depth0, seg0 = depth, seg
                 imgs.append(rgb * 2 - 1)
