@@ -75,11 +75,14 @@ def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color, textured=True):
     rgb[sky] = np.array([0.6, 0.75, 0.95])
     seg[sky] = 1
     # GT depth valid only within the renderable range, like lidar GT
-    # (KITTI velodyne returns top out near ~80 m; the reference's depth
-    # metrics clamp PRED to 80 and mask gt == 0 — metrics.py:59-60).
-    # Near-horizon ground hits run to ~1e5 m here; leaving them in the GT
-    # poisons abs_rel with pixels no bounded-z_far field could ever match.
-    depth = np.where(sky | (depth > 80.0), 0.0, depth)
+    # (KITTI velodyne returns top out near ~80 m and has a ~3 m blind
+    # radius around the sensor; the reference's depth metrics clamp PRED
+    # to 80 and mask gt == 0 — metrics.py:59-60). Near-horizon ground
+    # hits run to ~1e5 m here, and the bottom rows of this wide-FOV
+    # camera see ground closer than the shipped z_near=3; leaving either
+    # in the GT poisons abs_rel with pixels no [z_near, z_far]-bounded
+    # field could ever match.
+    depth = np.where(sky | (depth > 80.0) | (depth < 3.0), 0.0, depth)
     return rgb.transpose(2, 0, 1), depth, seg
 
 
@@ -93,14 +96,29 @@ class SyntheticMultiViewDataset:
     image_size: Tuple[int, int] = (48, 96)
     seed: int = 0
     textured: bool = True
+    # items are deterministic per index, so long runs (thousands of steps
+    # over a length-64 set) re-ray-march identical scenes; memoize them.
+    # Copies are returned so a consumer mutating a batch cannot poison the
+    # cache. 64 items at 96x192x8 views is ~115 MB — fine on host RAM.
+    cache: bool = True
 
     def __post_init__(self):
         self.K = np.array([[1.1, 0, 0], [0, 1.1 * self.image_size[1] / self.image_size[0] / 2, 0], [0, 0, 1]], np.float32)
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self):
         return self.length
 
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        if self.cache:
+            item = self._cache.get(index)
+            if item is None:
+                item = self._render_item(index)
+                self._cache[index] = item
+            return {k: v.copy() for k, v in item.items()}
+        return self._render_item(index)
+
+    def _render_item(self, index) -> Dict[str, np.ndarray]:
         rng = np.random.RandomState(self.seed + index)
         H, W = self.image_size
         boxes = []

@@ -474,6 +474,9 @@ def stage1_eval_forward(
         "dino_pred_grid": dino_pred_grid,
         "dino_gt_grid": dino_gt,
         "imgs_gt": jnp.take(imgs, ids_loss, axis=1) * 0.5 + 0.5,
+        # intrinsics of the rendered views, for the optional
+        # distance->z-depth conversion in the depth metric (to_z)
+        "projs": projs_loss,
     }
     if "depths" in batch:
         data["depths_gt"] = batch["depths"]

@@ -155,12 +155,27 @@ class SegmentationAccumulator:
 
 
 # ------------------------------------------------------------ per-batch evals
-def compute_depth_metrics(data, scaling: Optional[str] = None) -> Dict[str, float]:
-    """create_depth_eval parity (wrapper.py:12-26): first loss view vs GT."""
+def compute_depth_metrics(
+    data, scaling: Optional[str] = None, to_z: bool = False
+) -> Dict[str, float]:
+    """create_depth_eval parity (wrapper.py:12-26): first loss view vs GT.
+
+    to_z (off by default = reference parity): the renderer's depth is
+    Euclidean distance along the (normalized) ray while lidar-style GT is
+    camera z; the reference compares them raw — negligible on KITTI's
+    narrow FOV, but up to ~35% at the corners of a wide-FOV camera. With
+    to_z=true the prediction is converted via geometry.distance_to_z (the
+    transform the reference itself applies in its occupancy eval,
+    wrapper.py:147) before comparing."""
     if "depths_gt" not in data:
         return {}
     gt = np.asarray(data["depths_gt"])
-    pred = np.asarray(data["depth"])[:, 0]
+    depth = np.asarray(data["depth"])
+    if to_z and "projs" in data:
+        from scenedino_tpu.core.geometry import distance_to_z
+
+        depth = np.asarray(distance_to_z(depth, np.asarray(data["projs"])))
+    pred = depth[:, 0]
     gt0 = gt.reshape(pred.shape[0], -1, *pred.shape[1:])[:, 0]
     m = depth_metrics(pred, gt0, scaling=scaling)
     return {k: float(v) for k, v in m.items()}
@@ -304,7 +319,9 @@ def make_stage1_validator(
             key, sub = jax.random.split(key)
             data = jax.device_get(fwd(state.params, batch, sub))
             if "depth" in accs:
-                accs["depth"].update(compute_depth_metrics(data))
+                accs["depth"].update(
+                    compute_depth_metrics(data, **metric_args.get("depth", {}))
+                )
             if "dino" in accs:
                 accs["dino"].update(compute_dino_metrics(data))
             if "nvs" in accs:

@@ -67,6 +67,16 @@ def test_texture_is_world_anchored_across_views():
     assert (err < 0.15).mean() > 0.75, (err < 0.15).mean()
 
 
+def test_cache_returns_independent_copies():
+    ds = SyntheticMultiViewDataset(length=2, n_views=4)
+    a = ds[0]
+    a["imgs"][:] = 0  # consumer mutation must not poison the cache
+    b = ds[0]
+    assert np.abs(b["imgs"]).max() > 0.1
+    uncached = SyntheticMultiViewDataset(length=2, n_views=4, cache=False)
+    np.testing.assert_array_equal(b["imgs"], uncached[0]["imgs"])
+
+
 def test_renderer_determinism_and_ranges():
     ds, item = _sample()
     again = ds[1]

@@ -210,6 +210,27 @@ def test_stage1_validator_depth_and_dino_metrics():
     assert metrics["depth_abs_rel"] >= 0.0
 
 
+def test_depth_metric_to_z_conversion():
+    """A field that is EXACTLY right renders Euclidean ray distance, not
+    camera z; with a wide-FOV camera the raw reference-parity comparison
+    reports spurious error, while to_z=true recovers ~0."""
+    import numpy as np
+
+    from scenedino_tpu.core.geometry import z_to_distance
+    from scenedino_tpu.training.validation import compute_depth_metrics
+
+    rng = np.random.RandomState(0)
+    gt = rng.uniform(5.0, 30.0, (1, 1, 16, 32)).astype(np.float32)
+    K = np.array([[1.1, 0, 0], [0, 1.1, 0], [0, 0, 1]], np.float32)
+    projs = K[None, None]
+    dist = np.asarray(z_to_distance(jnp.asarray(gt), jnp.asarray(projs)))
+    data = {"depth": dist, "depths_gt": gt, "projs": projs}
+    raw = compute_depth_metrics(data)
+    conv = compute_depth_metrics(data, to_z=True)
+    assert raw["abs_rel"] > 0.02, raw["abs_rel"]
+    assert conv["abs_rel"] < 1e-4, conv["abs_rel"]
+
+
 def test_stage1_validator_emits_image_panels():
     """Validators attach TB image panels under "images" (the reference
     logs visualization output per validation run, base_trainer.py:368-378)."""
