@@ -128,22 +128,39 @@ def render_rays_chunked(
     B, R, rd = rays.shape
     if R <= chunk:
         return render_rays(field_fn, rays, key, cfg, **kwargs)
-    if kwargs.get("sample_from_dist") is not None:
-        raise ValueError(
-            "render_rays_chunked cannot forward sample_from_dist: the "
-            "proposal (weights, z) tensors would need tiling alongside the "
-            "rays. Call render_rays directly (R <= chunk) for proposal-"
-            "based rendering."
-        )
     assert R % chunk == 0, f"ray count {R} not divisible by chunk {chunk}"
     T = R // chunk
-    tiles = rays.reshape(B, T, chunk, rd).transpose(1, 0, 2, 3)  # (T, B, c, rd)
+
+    def per_ray_tiles(x):  # (B, R, n) -> (T, B, chunk, n)
+        return x.reshape(B, T, chunk, x.shape[-1]).transpose(1, 0, 2, 3)
+
+    tiles = per_ray_tiles(rays)  # (T, B, c, rd)
     keys = jax.random.split(key, T)
 
-    out = jax.lax.map(
-        lambda args: render_rays(field_fn, args[0], args[1], cfg, **kwargs),
-        (tiles, keys),
-    )
+    # proposal-resampling inputs are per-ray too (reference supports
+    # proposal + eval_batch_size chunking together, nerf.py:143-179 with
+    # the split loop at :268-298): tile (weights, z) alongside the rays
+    sfd = kwargs.pop("sample_from_dist", None)
+    if sfd is not None:
+        prop_w, prop_z = sfd
+        n = prop_w.shape[-1]
+        sfd_tiles = (
+            per_ray_tiles(prop_w.reshape(B, R, n)),
+            per_ray_tiles(prop_z.reshape(B, R, n)),
+        )
+
+        def body(args):
+            tile, k, w_t, z_t = args
+            return render_rays(
+                field_fn, tile, k, cfg, sample_from_dist=(w_t, z_t), **kwargs
+            )
+
+        out = jax.lax.map(body, (tiles, keys) + sfd_tiles)
+    else:
+        out = jax.lax.map(
+            lambda args: render_rays(field_fn, args[0], args[1], cfg, **kwargs),
+            (tiles, keys),
+        )
     # stack back: each leaf (T, B, chunk, ...) -> (B, T*chunk, ...)
     def restack(x):
         return x.transpose(1, 0, *range(2, x.ndim)).reshape(B, T * x.shape[2], *x.shape[3:])

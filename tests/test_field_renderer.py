@@ -110,6 +110,100 @@ def test_render_analytic_opaque_wall():
     assert np.all(np.abs(d - 10.0) < 0.5), d
 
 
+def wall_field(xyz, only_density=False):
+    """Analytic opaque wall at z=10 (shared by the chunked-proposal tests)."""
+    B, P, _ = xyz.shape
+    sigma = jnp.where(xyz[..., 2] > 10.0, 1e4, 0.0)
+    rgb = jnp.broadcast_to(xyz[..., 2:3] / 80.0, (B, P, 3))
+    invalid = jnp.zeros((B, P, 1))
+    dino = jnp.broadcast_to(xyz[..., :2], (B, P, 2))
+    return rgb, invalid, sigma, dino
+
+
+def test_chunked_proposal_matches_per_tile():
+    """render_rays_chunked with sample_from_dist must equal manual per-tile
+    render_rays calls bit-for-bit (same key-split schedule, (weights, z)
+    tiled alongside the rays). Reference supports proposal + eval_batch_size
+    chunking together (scenedino/renderer/nerf.py:143-179 with the split
+    loop at :268-298)."""
+    from scenedino_tpu.renderer.nerf import render_rays_chunked
+
+    pose = jnp.eye(4)[None]
+    k = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])[None]
+    r, _ = rays_mod.rays_from_k(pose, k, 4, 8, 3.0, 80.0, norm_dir=False)
+    r = r.reshape(1, -1, 8)  # (1, 32, 8)
+    B, R = r.shape[:2]
+    chunk = 8
+    T = R // chunk
+    rcfg = RenderConfig(n_coarse=12, lindisp=True)
+
+    # proposal histogram: mass concentrated around the z=10 wall
+    nbins = 16
+    z_bins = jnp.broadcast_to(jnp.linspace(3.5, 79.0, nbins), (B, R, nbins))
+    prop_w = jnp.exp(-0.5 * ((z_bins - 10.0) / 2.0) ** 2) + 1e-3
+
+    key = jax.random.PRNGKey(11)
+    out = render_rays_chunked(
+        wall_field, r, key, rcfg, chunk=chunk,
+        sample_from_dist=(prop_w, z_bins), want_weights=True, want_z_samps=True,
+    )
+
+    keys = jax.random.split(key, T)
+    for t in range(T):
+        sl = slice(t * chunk, (t + 1) * chunk)
+        ref = render_rays(
+            wall_field, r[:, sl], keys[t], rcfg,
+            sample_from_dist=(prop_w[:, sl], z_bins[:, sl]),
+            want_weights=True, want_z_samps=True,
+        )
+        # fp tolerance, not bitwise: XLA compiles the lax.map body with
+        # different fusion/division lowering than a standalone program
+        # (observed diffs ~1e-7 relative even on the raw proposal draws).
+        # The key-split schedule and (weights, z) tiling under test would
+        # diverge at O(1), not O(eps), if wrong.
+        for name in ("z_samps", "rgb", "depth", "dino_features", "weights"):
+            np.testing.assert_allclose(
+                np.asarray(out["coarse"][name][:, sl]),
+                np.asarray(ref["coarse"][name]),
+                rtol=1e-6, atol=1e-6,
+                err_msg=f"tile {t} field {name}",
+            )
+
+    # and the proposal actually guides sampling: the first draw past the
+    # wall sets the depth, so every ray lands in [10, ~one-proposal-bin)
+    d = np.asarray(out["coarse"]["depth"])
+    assert np.all((d >= 10.0 - 1e-3) & (d < 16.5)), d
+    assert np.median(d) < 11.5, np.median(d)
+
+
+def test_chunked_proposal_flat_weight_layout():
+    """sample_from_dist given flat (B*R, n) — the layout render_rays itself
+    accepts — must chunk identically to the (B, R, n) layout."""
+    from scenedino_tpu.renderer.nerf import render_rays_chunked
+
+    pose = jnp.eye(4)[None]
+    k = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])[None]
+    r, _ = rays_mod.rays_from_k(pose, k, 4, 4, 3.0, 80.0, norm_dir=False)
+    r = r.reshape(1, -1, 8)
+    B, R = r.shape[:2]
+    nbins = 8
+    z_bins = jnp.broadcast_to(jnp.linspace(4.0, 70.0, nbins), (B, R, nbins))
+    w = jax.random.uniform(jax.random.PRNGKey(3), (B, R, nbins)) + 0.1
+
+    key = jax.random.PRNGKey(5)
+    a = render_rays_chunked(
+        wall_field, r, key, RenderConfig(n_coarse=8), chunk=8,
+        sample_from_dist=(w, z_bins),
+    )
+    b = render_rays_chunked(
+        wall_field, r, key, RenderConfig(n_coarse=8), chunk=8,
+        sample_from_dist=(w.reshape(B * R, nbins), z_bins.reshape(B * R, nbins)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(a["coarse"]["depth"]), np.asarray(b["coarse"]["depth"])
+    )
+
+
 def test_overfit_single_scene():
     """Loss -> small when overfitting rgb of one synthetic batch with the
     MLP-color field (sample_color=False, the learnable-rgb path; mirrors
