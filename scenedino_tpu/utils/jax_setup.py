@@ -9,6 +9,7 @@ def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache") -> None:
     (ViT-B + renderer) takes minutes; subsequent processes reuse it."""
     import jax
 
+    path = os.environ.get("SCENEDINO_COMPILATION_CACHE_DIR", path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
