@@ -364,9 +364,17 @@ def render_encode_view(
         + fs.b2
     )
     sigma = jax.nn.softplus(out[..., 0])  # (HW, K)
+    # compositing stays on the plain jnp chain: a hand-written Pallas
+    # fused-compositing kernel was wired here behind a flag and MEASURED
+    # on v5e (2026-08, BENCH r4 prep) at 44.5 ms/image vs 22.6 ms for this
+    # path — XLA's fusion composites inside the producer epilogue and
+    # never materializes the (HW, K, 64) fp32 sample tensor the kernel
+    # had to round-trip through HBM. Kernel removed; measurement recorded
+    # in bench.py detail["pallas_composite_verdict"].
     comp = C.composite_rays(sigma, z, hard_alpha_cap)
     depth = comp.depth.reshape(height, width)
     dino = C.weighted_reduce(comp.weights, out[..., 1:]).reshape(height, width, -1)
+    w_pix = jnp.sum(comp.weights, -1)
     rgb_map = fs.color_imgs[0, 0].astype(jnp.float32)  # (H, W, 3)
     if rgb_map.shape[:2] != (height, width):
         # the zero-gather rgb shortcut reads the color image at the render
@@ -377,7 +385,7 @@ def render_encode_view(
             f"render_encode_view: color image {rgb_map.shape[:2]} != render "
             f"size {(height, width)} — use the generic renderer"
         )
-    rgb = rgb_map * jnp.sum(comp.weights, -1).reshape(height, width)[..., None]
+    rgb = rgb_map * w_pix.reshape(height, width)[..., None]
     return depth, dino, rgb
 
 
