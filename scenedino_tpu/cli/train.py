@@ -328,11 +328,19 @@ def run_stage2(config, sweep_trial=None):
     buffers0 = RingBufferState.create(head_cfg.buffer_size, head_cfg.patch_sample_size, head_cfg.input_dim)
     dino0 = jnp.zeros((1, 1, H, W, 1, head_cfg.input_dim))
     crop0 = jnp.zeros((cfg.n_crops, cfg.n_samples, head_cfg.input_dim))
-    head_vars = head.init(
-        {"params": key, "dropout": key},
-        dino0, buffers0, key, crop_features=crop0,
-        seg_target=jnp.zeros((1, H, W), jnp.int32),
-        deterministic=True, method=SemanticHead.forward_training,
+    # jit the init: eager flax init dispatches forward_training op-by-op,
+    # which over an axon-tunneled TPU is one round trip per op — observed
+    # as a ~zero-CPU half-hour stall before the first step. One compiled
+    # program instead (persisted in the compilation cache).
+    def _head_init(k, d0, b0, c0, s0):
+        return head.init(
+            {"params": k, "dropout": k},
+            d0, b0, k, crop_features=c0, seg_target=s0,
+            deterministic=True, method=SemanticHead.forward_training,
+        )
+
+    head_vars = jax.jit(_head_init)(
+        key, dino0, buffers0, crop0, jnp.zeros((1, H, W), jnp.int32)
     )
     rcfg = RenderConfig(n_coarse=config.get("renderer", {}).get("n_coarse", 32))
     batch_size = config.get("batch_size", 1)
@@ -345,9 +353,14 @@ def run_stage2(config, sweep_trial=None):
     key, k_seed = jax.random.split(key)
     first = next(iter(batch_iterator(train_ds, batch_size)()))
     first = {k: jnp.asarray(v) for k, v in first.items() if k in ("imgs", "poses", "projs", "segs")}
-    head_vars = seed_cluster_centers(
-        field, field_params, head, head_vars, first, k_seed, cfg, rcfg, init_type
-    )
+    # jitted for the same reason as _head_init above: the seeding renders
+    # a full frame through downstream_forward + runs k-means++ — eager,
+    # that is thousands of tunnel round trips
+    head_vars = jax.jit(
+        lambda fp, hv, b, k: seed_cluster_centers(
+            field, fp, head, hv, b, k, cfg, rcfg, init_type
+        )
+    )(field_params, head_vars, first, k_seed)
 
     tx = make_downstream_optimizer(cfg, head_vars["params"])
     state = init_downstream_state(head_vars, cfg, head_cfg, tx)

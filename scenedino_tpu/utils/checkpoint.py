@@ -34,10 +34,13 @@ def save_checkpoint(path: str, state, step: Optional[int] = None):
 
 
 def load_checkpoint(path: str, target=None):
+    import os
+
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=target)
+    # orbax requires absolute paths (tensorstore kvstore spec)
+    return ckptr.restore(os.path.abspath(path), target=target)
 
 
 def load_model_variables(ckpt_path: str):

@@ -72,8 +72,7 @@ def main():
     )
 
     bins = np.array([3, 6, 10, 15, 20, 30, 45, 80], np.float64)
-    bin_err = np.zeros(len(bins) - 1)
-    bin_cnt = np.zeros(len(bins) - 1)
+    bin_vals = [[] for _ in range(len(bins) - 1)]
     reg_err = {"ground": [], "box": []}
     dump = {}
     key = jax.random.PRNGKey(0)
@@ -99,19 +98,22 @@ def main():
         rel = np.abs(gt - np.clip(pred, 1e-3, None)) / np.maximum(gt, 1e-8)
         for b in range(len(bins) - 1):
             m = valid & (gt >= bins[b]) & (gt < bins[b + 1])
-            bin_err[b] += rel[m].sum()
-            bin_cnt[b] += m.sum()
+            bin_vals[b].append(rel[m])
         reg_err["ground"].append(rel[valid & (seg == 0)])
         reg_err["box"].append(rel[valid & (seg >= 2)])
     np.savez("/tmp/diag_depth.npz", K=train_ds.K, **dump)
     print("dumped pred/gt/seg to /tmp/diag_depth.npz")
 
-    print("\nabs_rel by GT-depth bin:")
+    print("\nabs_rel by GT-depth bin (median is the tail-robust figure —")
+    print("the mean is dominated by the sub-Nyquist near-horizon ground")
+    print("population, see docs/convergence/):")
     for b in range(len(bins) - 1):
-        if bin_cnt[b]:
+        v = np.concatenate(bin_vals[b]) if bin_vals[b] else np.zeros(0)
+        if v.size:
             print(
                 f"  [{bins[b]:5.1f}, {bins[b+1]:5.1f}) m: "
-                f"{bin_err[b]/bin_cnt[b]:.4f}   (n={int(bin_cnt[b])})"
+                f"mean {v.mean():.4f}  median {np.median(v):.4f}  "
+                f"p90 {np.percentile(v, 90):.4f}   (n={v.size})"
             )
     for name, chunks in reg_err.items():
         v = np.concatenate(chunks)
