@@ -43,6 +43,10 @@ class Seg2DEvaluator:
     # the predicted labels as unary, rendered rgb as the appearance image,
     # "<mode>_crf" result rows). Off in shipped configs (apply_crf=False).
     apply_crf: bool = False
+    # "window": jittable truncated-window CRF on-device (eval/crf.py);
+    # "exact": the exact permutohedral-lattice CRF, host-side numpy like
+    # the reference's pydensecrf call (eval/permutohedral.py)
+    crf_method: str = "window"
     # render the (encode-camera) eval frame through the zero-gather folded
     # path when the head is foldable — ~10x faster full-frame renders,
     # exact for the shipped config; generic chunked renderer otherwise
@@ -100,16 +104,21 @@ class Seg2DEvaluator:
                 for mode in self.modes
             }
             if self.apply_crf:
-                from scenedino_tpu.eval.crf import dense_crf
-
                 # rendered rgb is ALREADY in [0,1]: SceneField.encode stores
                 # color_imgs de-normalized (field.py:174); re-mapping with
                 # *0.5+0.5 would wash out the CRF appearance kernel
                 rgb = jnp.clip(rgb_flat, 0.0, 1.0)
-                for mode in self.modes:
-                    onehot = jax.nn.one_hot(preds[mode], self.n_classes)
-                    probs = dense_crf(rgb, onehot)
-                    preds[mode + "_crf"] = jnp.argmax(probs, -1)
+                if self.crf_method == "window":
+                    from scenedino_tpu.eval.crf import dense_crf
+
+                    for mode in self.modes:
+                        onehot = jax.nn.one_hot(preds[mode], self.n_classes)
+                        probs = dense_crf(rgb, onehot)
+                        preds[mode + "_crf"] = jnp.argmax(probs, -1)
+                else:
+                    # exact lattice runs host-side after the jitted part;
+                    # hand the appearance image out of the program
+                    preds["_rgb"] = rgb
             preds["depth"] = depth.reshape(H, W)
             return preds
 
@@ -137,6 +146,16 @@ class Seg2DEvaluator:
                 self.field_params, self.head_variables, imgs, projs, poses,
                 jax.random.PRNGKey(i),
             )
+            if self.apply_crf and self.crf_method == "exact":
+                from scenedino_tpu.eval.permutohedral import dense_crf_exact
+
+                preds = dict(preds)
+                rgb = np.asarray(preds.pop("_rgb"))
+                eye = np.eye(self.n_classes, dtype=np.float32)
+                for m in self.modes:
+                    onehot = eye[np.asarray(preds[m])]
+                    probs = dense_crf_exact(rgb, onehot)
+                    preds[m + "_crf"] = jnp.asarray(probs.argmax(-1))
             for m in self.result_modes:
                 conf[m] += np.asarray(
                     seg_confusion_matrix(jnp.asarray(target), preds[m], self.n_classes)
@@ -174,6 +193,10 @@ class Seg2DEvaluator:
 
         from scenedino_tpu.parallel.mesh import make_mesh
 
+        if self.apply_crf and self.crf_method == "exact":
+            # the exact lattice is host-side numpy; the sharded path keeps
+            # everything on-device. Use run() or crf_method="window".
+            raise ValueError("crf_method='exact' is supported by run() only")
         if jax.process_count() > 1:
             # inputs/outputs here are host-global arrays; a multi-host
             # run would need per-process dataset splits + global-array

@@ -81,6 +81,44 @@ def test_seg2d_evaluator_both_paths():
     assert results[True]["n_frames"] == results[False]["n_frames"]
 
 
+def test_seg2d_exact_crf_rows():
+    """apply_crf with crf_method='exact' routes through the host-side
+    permutohedral lattice (eval/permutohedral.py) and produces the same
+    '<mode>_crf' result rows as the jittable window CRF; the sharded
+    path refuses the host-side method."""
+    import pytest
+
+    from scenedino_tpu.models.downstream import RingBufferState
+
+    field, head, variables, imgs, poses, projs = _setup()
+    key = jax.random.PRNGKey(1)
+    hcfg = head.cfg
+    buffers = RingBufferState.create(hcfg.buffer_size, hcfg.patch_sample_size, hcfg.input_dim)
+    hv = head.init(
+        {"params": key, "dropout": key},
+        jnp.zeros((1, 1, H, W, 1, hcfg.input_dim)), buffers, key,
+        crop_features=jnp.zeros((5, hcfg.patch_sample_size, hcfg.input_dim)),
+        seg_target=jnp.zeros((1, H, W), jnp.int32),
+        method=type(head).forward_training,
+    )
+    dataset = [{
+        "imgs": np.asarray(imgs[0]),
+        "poses": np.asarray(poses[0]),
+        "projs": np.asarray(projs[0]),
+        "segs": np.random.RandomState(0).randint(0, 4, (1, H, W)),
+    }]
+    ev = Seg2DEvaluator(
+        field=field, head=head, field_params=variables, head_variables=hv,
+        image_size=(H, W), n_coarse=8, chunk=H * W, n_classes=5,
+        modes=("stego_kmeans",), apply_crf=True, crf_method="exact",
+    )
+    out = ev.run(dataset)
+    assert "stego_kmeans_crf" in out
+    assert 0.0 <= out["stego_kmeans_crf"]["miou"] <= 1.0
+    with pytest.raises(ValueError):
+        ev.run_sharded(dataset)
+
+
 def test_run_sharded_matches_sequential():
     """Frame-parallel evaluation over the 8-device mesh is EXACTLY the
     sequential run: same per-frame keys, integer confusion accumulation,
