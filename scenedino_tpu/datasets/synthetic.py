@@ -40,14 +40,26 @@ def _render_scene(pose_c2w, K_ndc, H, W, boxes, rng_color, textured=True):
     def _albedo_mod(t, mask, freq):
         """Smooth world-anchored pattern at the hit points o + t*d in
         [1-a, 1+a] (smooth, not a checker: band-limited so the 2x-grid
-        encoder can represent it at these resolutions)."""
+        encoder can represent it at these resolutions).
+
+        The third term carries deliberately HIGHER x-frequency
+        (4.1*freq ~ 7.8 rad/m on the ground): stereo disparity is
+        horizontal, and horizontal image gradients on the ground come
+        almost entirely from x-variation of the albedo (the z-variation
+        projects vertically). With only the base freq (1.9 rad/m -> 87 px
+        x-period at 4 m) the near-ground photometric loss was nearly flat
+        along the disparity direction and a trained field settled ~9%
+        deep with almost no loss penalty (docs/convergence/README.md,
+        round-4 diagnosis). The 0.81 m x-period term stays above the
+        2 px Nyquist limit out to ~35 m at 96x192."""
         if not textured:
             return np.ones((mask.sum(),), np.float32)
         p = o[None, :] + t[mask][:, None] * d[mask]
         return (
             1.0
-            + 0.25 * np.sin(freq * p[:, 0]) * np.cos(freq * p[:, 2])
-            + 0.15 * np.sin(1.7 * freq * p[:, 1] + 1.3)
+            + 0.22 * np.sin(freq * p[:, 0]) * np.cos(freq * p[:, 2])
+            + 0.12 * np.sin(1.7 * freq * p[:, 1] + 1.3)
+            + 0.18 * np.sin(4.1 * freq * p[:, 0] + 0.7) * np.cos(0.9 * freq * p[:, 2])
         ).astype(np.float32)
 
     # ground plane y = 1.5 (y down)
