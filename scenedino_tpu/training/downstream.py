@@ -56,6 +56,9 @@ class DownstreamTrainConfig:
     # n_blocks=0 config; the field is frozen in stage 2, so no grads are
     # needed through the render) — ~4x faster stage-2 steps
     use_fast_render: bool = True
+    # GradScaler-parity non-finite step skipping (see TrainConfig in
+    # trainer.py; reference base_trainer.py:249-256). 0 disables.
+    skip_nonfinite_steps: int = 10
 
 
 class DownstreamTrainState(struct.PyTreeNode):
@@ -77,10 +80,13 @@ def make_downstream_optimizer(cfg: DownstreamTrainConfig, params):
 
         return walk(p)
 
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"stego": optax.adam(cfg.lr), "heads": optax.adam(cfg.lr * cfg.head_lr_factor)},
         label_fn,
     )
+    if cfg.skip_nonfinite_steps > 0:
+        tx = optax.apply_if_finite(tx, cfg.skip_nonfinite_steps)
+    return tx
 
 
 def sample_3d_crops(field, field_params, state, depth, poses, projs, key, cfg: DownstreamTrainConfig):
@@ -360,6 +366,13 @@ def make_downstream_train_step(field, field_params, head, cfg, rcfg, tx,
         updates, new_opt = tx.update(grads, state.opt_state, head_params)
         new_params = optax.apply_updates(head_params, updates)
         new_vars = {"params": new_params, **{**head_state, **mut}}
+        if hasattr(new_opt, "notfinite_count"):
+            losses = dict(losses)
+            losses["nonfinite_consecutive"] = new_opt.notfinite_count
+            losses["nonfinite_total"] = new_opt.total_notfinite
+            losses["nonfinite_gave_up"] = (
+                new_opt.notfinite_count > cfg.skip_nonfinite_steps
+            ).astype(jnp.int32)
         return (
             state.replace(
                 step=state.step + 1,

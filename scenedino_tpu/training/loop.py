@@ -260,7 +260,25 @@ def fit(
                 if it % cfg.log_every == 0:
                     losses = jax.device_get(losses)
                     if not np.isfinite(losses.get("rec_loss", losses.get("total_loss", 0.0))):
-                        raise FloatingPointError(f"non-finite loss at iter {it}: {losses}")
+                        # GradScaler-parity policy (base_trainer.py:249-256):
+                        # a non-finite loss whose update the apply_if_finite
+                        # wrapper REJECTED leaves params/moments clean — warn
+                        # and keep training. Raise (TerminateOnNan parity)
+                        # only when the optimizer has no skip protection or
+                        # has exhausted its consecutive-skip budget and let
+                        # the NaN corrupt the params.
+                        gave_up = losses.get("nonfinite_gave_up")
+                        if gave_up is None or gave_up > 0:
+                            raise FloatingPointError(
+                                f"non-finite loss at iter {it}: {losses}"
+                            )
+                        logger.warning(
+                            "non-finite loss at iter %d SKIPPED by "
+                            "apply_if_finite (consecutive=%d total=%d): %s",
+                            it, int(losses.get("nonfinite_consecutive", -1)),
+                            int(losses.get("nonfinite_total", -1)),
+                            {k: v for k, v in losses.items()},
+                        )
                     tb.scalars("train", losses, it)
                     tb.scalars("timing", {"t_data": t_data, "t_step": t_step}, it)
                     logger.info("iter %d: %s", it, {k: round(float(v), 5) for k, v in losses.items()})

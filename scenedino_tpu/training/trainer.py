@@ -43,6 +43,14 @@ class TrainConfig:
     # optimizer steps every k micro-batches on the averaged gradient
     # (base_trainer.py:202,249-256 gradient_accum_factor)
     gradient_accum_factor: int = 1
+    # GradScaler-parity non-finite step skipping (base_trainer.py:249-256:
+    # scaler.step silently skips inf/nan steps so one overflow doesn't kill
+    # a 50-epoch run). optax.apply_if_finite rejects updates whose grads
+    # contain NaN/Inf, keeping params + optimizer moments clean; after this
+    # many CONSECUTIVE bad steps it gives up and lets the NaN through,
+    # which the fit loop then turns into the TerminateOnNan hard raise.
+    # 0 disables (old fail-fast behavior).
+    skip_nonfinite_steps: int = 10
     ray_batch_size: int = 2048
     patch_size: int = 8
     z_near: float = 3.0
@@ -64,6 +72,10 @@ class TrainConfig:
     # KITTI recipe) or "alternate" (one coin, even vs odd frames — the
     # RE10K recipe, model.loss_renderer_strategy in the reference configs)
     loss_renderer_strategy: str = "kitti_360"
+    # emit dbg_* scalar extremes (depth/weights/features/artifact) in the
+    # loss dict — the numerical-stability forensics channel used by
+    # tools/diag_flagship_nan.py; costs a few reductions per step
+    debug_stats: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -109,6 +121,10 @@ def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
         # average grads over k micro-batches, apply on the k-th — the
         # reference's scaled-loss accumulation (base_trainer.py:249-256)
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accum_factor)
+    if cfg.skip_nonfinite_steps > 0:
+        # outermost: a rejected micro-batch leaves the MultiSteps
+        # accumulator untouched too (the whole bad step is dropped)
+        tx = optax.apply_if_finite(tx, cfg.skip_nonfinite_steps)
     return tx
 
 
@@ -309,6 +325,15 @@ def stage1_forward(
         "coarse": coarse,
     }
     losses = reconstruction_loss(data, lcfg)
+    if cfg.debug_stats:
+        losses["dbg_depth_min"] = jnp.min(coarse["depth"])
+        losses["dbg_depth_max"] = jnp.max(coarse["depth"])
+        losses["dbg_wsum_min"] = jnp.min(jnp.sum(coarse["weights"], -1))
+        losses["dbg_dino768_absmax"] = jnp.max(jnp.abs(dino_768))
+        losses["dbg_rgb_absmax"] = jnp.max(jnp.abs(coarse["rgb"]))
+        losses["dbg_dino_gt_absmax"] = jnp.max(jnp.abs(dgt))
+        if dino_artifacts is not None:
+            losses["dbg_artifact_absmax"] = jnp.max(jnp.abs(dino_artifacts))
     if "uncert" in coarse:
         # diagnostic scalar; research losses (losses/errors.py
         # alpha_consistency_uncert) consume the full map via data
@@ -502,6 +527,19 @@ def make_train_step(field, cfg: TrainConfig, rcfg: RenderConfig, lcfg: Reconstru
         (_, losses), (gparams, gart) = grad_fn(
             state.params, state.artifact_field, batch, key
         )
+        if cfg.skip_nonfinite_steps > 0 and state.artifact_field is not None:
+            # GradScaler skips the WHOLE step if ANY grad is non-finite
+            # (base_trainer.py:249-256: one scaler over all param groups).
+            # params and the artifact field have separate apply_if_finite
+            # wrappers, so make the decision joint: poison both trees when
+            # either contains a NaN/Inf (x + 0 is exact when finite).
+            flat = jax.tree_util.tree_leaves((gparams, gart))
+            all_finite = jnp.all(
+                jnp.array([jnp.all(jnp.isfinite(g)) for g in flat])
+            )
+            poison = jnp.where(all_finite, 0.0, jnp.nan)
+            gparams = jax.tree_util.tree_map(lambda g: g + poison, gparams)
+            gart = jax.tree_util.tree_map(lambda g: g + poison, gart)
         updates, new_opt = tx.update(gparams, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_art = state.artifact_field
@@ -511,6 +549,16 @@ def make_train_step(field, cfg: TrainConfig, rcfg: RenderConfig, lcfg: Reconstru
                 gart, state.artifact_opt_state, state.artifact_field
             )
             new_art = optax.apply_updates(state.artifact_field, art_updates)
+        if hasattr(new_opt, "notfinite_count"):
+            # surface the apply_if_finite skip counters (TB scalars + the
+            # fit loop's raise-vs-warn decision); gave_up == the wrapper
+            # exhausted its budget and let a NaN update through
+            losses = dict(losses)
+            losses["nonfinite_consecutive"] = new_opt.notfinite_count
+            losses["nonfinite_total"] = new_opt.total_notfinite
+            losses["nonfinite_gave_up"] = (
+                new_opt.notfinite_count > cfg.skip_nonfinite_steps
+            ).astype(jnp.int32)
         return (
             state.replace(
                 step=state.step + 1,
@@ -582,6 +630,8 @@ def _artifact_tx(cfg: TrainConfig):
     tx = optax.adam(cfg.lr)
     if cfg.gradient_accum_factor > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accum_factor)
+    if cfg.skip_nonfinite_steps > 0:
+        tx = optax.apply_if_finite(tx, cfg.skip_nonfinite_steps)
     return tx
 
 
