@@ -51,21 +51,63 @@ def build():
     return field, params, imgs, projs, poses
 
 
-def _device_watchdog(timeout_s: float = 240.0):
-    """Fail fast when the (tunneled) TPU is unreachable: the first device
-    touch then hangs forever inside the backend, so run a tiny probe
-    matmul with a watchdog thread that exits the process with a clear
-    message instead of letting the driver's bench run hang silently.
-    Compiles are NOT bounded by this — only the trivial probe."""
+def _device_watchdog(timeout_s: float = 300.0, total_budget_s: float = 1200.0,
+                     attempt_timeout_s: float = 120.0, retry_interval_s: float = 60.0):
+    """Survive a TRANSIENT tunnel outage; fail fast on a dead one.
+
+    A hung first device touch cannot be interrupted in-process (it blocks
+    inside the backend), so the probe matmul runs in a SUBPROCESS with a
+    per-attempt timeout, retried every `retry_interval_s` for up to
+    `total_budget_s` (the round-4 artifact of record was voided by a
+    tunnel blip at capture time — rc=3 with everything else green). Only
+    after a subprocess probe succeeds does this process touch the device,
+    still under a watchdog thread in case the tunnel dies in the gap.
+    Compiles are NOT bounded by any of this — only the trivial probe."""
+    import subprocess
     import threading
+    import time
+
+    t0 = time.monotonic()
+    attempt = 0
+    probe_src = (
+        "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); "
+        "print(float((x @ x).sum()))"
+    )
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=attempt_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        elapsed = time.monotonic() - t0
+        if elapsed + retry_interval_s >= total_budget_s:
+            print(
+                f"bench.py: device probe failed {attempt}x over "
+                f"{elapsed:.0f}s — TPU tunnel down/unreachable; no "
+                "measurement possible",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(3)
+        print(
+            f"bench.py: device probe attempt {attempt} failed; retrying in "
+            f"{retry_interval_s:.0f}s ({total_budget_s - elapsed:.0f}s budget left)",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(retry_interval_s)
 
     done = threading.Event()
 
     def watchdog():
         if not done.wait(timeout_s):
             print(
-                f"bench.py: device probe did not complete in {timeout_s:.0f}s"
-                " — TPU tunnel down/unreachable; no measurement possible",
+                f"bench.py: in-process device probe did not complete in "
+                f"{timeout_s:.0f}s after a successful subprocess probe — "
+                "tunnel lost; no measurement possible",
                 file=sys.stderr, flush=True,
             )
             os._exit(3)
@@ -572,28 +614,49 @@ def _convergence_summary():
         return {t: sorted(v) for t, v in tags.items()}
 
     out = {"evidence_dir": "docs/convergence/ (curves + per-bin tables + analysis)"}
-    s1 = curves("s1_curves.csv")
-    if s1:
+
+    def s1_summary(s1):
         ar = s1.get("val/validation/depth_abs_rel", [])
         a1 = s1.get("val/validation/depth_a1", [])
         ps = s1.get("val/validation/nvs_psnr", [])
-        out["stage1"] = {
+        return {
             "steps": ar[-1][0] if ar else None,
             "depth_abs_rel_best": round(min(v for _, v in ar), 4) if ar else None,
             "depth_a1_best": round(max(v for _, v in a1), 4) if a1 else None,
             "nvs_psnr_best": round(max(v for _, v in ps), 2) if ps else None,
         }
+
+    # the run of record is the post-texture-fix s1b rerun (the one whose
+    # per-bin tolerances pass — docs/convergence/README.md); the pre-fix
+    # run stays visible under its own key for the audit trail
+    s1b = curves("s1b_curves.csv")
+    if s1b:
+        out["stage1"] = {"run": "s1b (post-texture-fix)", **s1_summary(s1b)}
+    s1 = curves("s1_curves.csv")
+    if s1:
+        key = "stage1" if not s1b else "stage1_prefix_superseded"
+        out[key] = {"run": "s1 (pre-fix)", **s1_summary(s1)}
+
+    def s2_summary(s2):
+        # per-head bests, EXACT tag match per head (a max over all four
+        # *_weighted_miou tags would mislabel direct-head numbers as stego)
+        res = {}
+        for head in ("stego_cluster", "stego_linear", "direct_cluster", "direct_linear"):
+            wm = s2.get(f"val/validation/{head}_weighted_miou", [])
+            ac = s2.get(f"val/validation/{head}_acc", [])
+            if wm:
+                res[f"{head}_weighted_miou_best"] = round(max(v for _, v in wm), 4)
+            if ac:
+                res[f"{head}_acc_best"] = round(max(v for _, v in ac), 4)
+        return res
+
+    s2b = curves("s2b_curves.csv")
+    if s2b:
+        out["stage2"] = {"run": "s2b (distills the s1b field)", **s2_summary(s2b)}
     s2 = curves("s2_curves.csv")
     if s2:
-        miou = [
-            v for t, v in s2.items() if "weighted_miou" in t for v in v
-        ]
-        acc = [v for t, v in s2.items() if t.endswith("acc") for v in v]
-        out["stage2"] = {
-            "stego_cluster_weighted_miou_best": round(max(v for _, v in miou), 4)
-            if miou else None,
-            "acc_best": round(max(v for _, v in acc), 4) if acc else None,
-        }
+        key = "stage2" if not s2b else "stage2_prefix_superseded"
+        out[key] = {"run": "s2 (distills the pre-fix s1 field)", **s2_summary(s2)}
     fl = curves("flagship_curves.csv")
     if fl:
         rec = fl.get("train/rec_loss", [])

@@ -52,11 +52,42 @@ def alpha_composite(sigmas, deltas, hard_alpha_cap=True):
     return weights, alphas
 
 
-def composite_rays(sigmas, z_samp, hard_alpha_cap=True):
-    """Full compositing: density + depths -> weights/alphas/expected depth."""
+def weight_median_depth(weights, z_samp, q=0.5):
+    """Depth statistic: z at the first sample whose normalized-weight CDF
+    crosses q (default: the weight median).
+
+    The reference ships E[z] = sum(w*z) (nerf.py:376-394), which is
+    Jensen-biased DEEP on diffuse density shells (~symmetric in disparity:
+    E[1/d] > 1/E[d]); the weight median is unbiased there. Measured on the
+    trained synthetic field (tools/diag_depth_statistic.py): mid-range
+    signed bias +0.059 (E[z]) -> -0.006 (median). Static-shape: the index
+    is a sum of CDF<q, clamped, then a take_along_axis.
+    """
+    w = weights.astype(jnp.float32)
+    cdf = jnp.cumsum(w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-10)
+    idx = jnp.sum((cdf < q).astype(jnp.int32), axis=-1)
+    idx = jnp.clip(idx, 0, z_samp.shape[-1] - 1)
+    return jnp.take_along_axis(
+        z_samp.astype(jnp.float32), idx[..., None], axis=-1
+    )[..., 0]
+
+
+def composite_rays(sigmas, z_samp, hard_alpha_cap=True, depth_statistic="expectation"):
+    """Full compositing: density + depths -> weights/alphas/depth.
+
+    depth_statistic: "expectation" (E[z], reference parity) or "median"
+    (weight-median, the measured-unbiased option — see weight_median_depth).
+    """
     deltas = deltas_from_z(z_samp)
     weights, alphas = alpha_composite(sigmas, deltas, hard_alpha_cap)
-    depth = jnp.sum(weights * z_samp.astype(jnp.float32), axis=-1)
+    if depth_statistic == "median":
+        depth = weight_median_depth(weights, z_samp)
+    elif depth_statistic == "expectation":
+        depth = jnp.sum(weights * z_samp.astype(jnp.float32), axis=-1)
+    else:
+        raise ValueError(
+            f"depth_statistic must be 'expectation' or 'median', got {depth_statistic!r}"
+        )
     return CompositeOut(weights, alphas, depth)
 
 

@@ -53,6 +53,13 @@ class Seg2DEvaluator:
     use_fast_render: bool = True
 
     def __post_init__(self):
+        if self.crf_method not in ("window", "exact"):
+            # any unknown value would silently take the exact branch inside
+            # the jitted predict but never get post-processed in run(),
+            # crashing deep in the confusion loop on a missing "<mode>_crf"
+            raise ValueError(
+                f"crf_method must be 'window' or 'exact', got {self.crf_method!r}"
+            )
         H, W = self.image_size
         sampler = ImageRaySampler(self.z_near, self.z_far, height=H, width=W)
         rcfg = RenderConfig(n_coarse=self.n_coarse)

@@ -260,6 +260,7 @@ def render_encode_view(
     n_coarse: int = 32,
     lindisp: bool = True,
     hard_alpha_cap: bool = True,
+    depth_statistic: str = "expectation",
 ):
     """Render the encode camera's own view with ZERO feature gathers.
 
@@ -371,7 +372,7 @@ def render_encode_view(
     # never materializes the (HW, K, 64) fp32 sample tensor the kernel
     # had to round-trip through HBM. Kernel removed; measurement recorded
     # in bench.py detail["pallas_composite_verdict"].
-    comp = C.composite_rays(sigma, z, hard_alpha_cap)
+    comp = C.composite_rays(sigma, z, hard_alpha_cap, depth_statistic=depth_statistic)
     depth = comp.depth.reshape(height, width)
     dino = C.weighted_reduce(comp.weights, out[..., 1:]).reshape(height, width, -1)
     w_pix = jnp.sum(comp.weights, -1)
@@ -402,6 +403,7 @@ def render_novel_view(
     hard_alpha_cap: bool = True,
     band: int = 64,
     want_rgb: bool = True,
+    depth_statistic: str = "expectation",
 ):
     """Full-frame render of an ARBITRARY camera (ids_render != ids_encoder).
 
@@ -503,7 +505,7 @@ def render_novel_view(
     )
     sigma = out[..., 0].reshape(height, K, width)
     sigma = jax.nn.softplus(sigma.transpose(0, 2, 1).reshape(-1, K))  # (R, K)
-    comp = C.composite_rays(sigma, z, hard_alpha_cap)
+    comp = C.composite_rays(sigma, z, hard_alpha_cap, depth_statistic=depth_statistic)
     depth = comp.depth.reshape(height, width)
 
     dino = out[..., 1:].reshape(height, K, width, -1)
@@ -541,6 +543,7 @@ def render_novel_view_fused(
     band: int = 64,
     want_rgb: bool = True,
     rows_per_seg: int = 4,
+    depth_statistic: str = "expectation",
 ):
     """`render_novel_view` with the WHOLE per-point pipeline fused into the
     per-segment `lax.map` body.
@@ -584,7 +587,8 @@ def render_novel_view_fused(
     z_seg = z.reshape(S_n, rw, K)
 
     body = _fused_rows_body(
-        fs, cfg, width, K, rows_per_seg, band, want_rgb, hard_alpha_cap
+        fs, cfg, width, K, rows_per_seg, band, want_rgb, hard_alpha_cap,
+        depth_statistic=depth_statistic,
     )
     depth, dino, rgb = jax.lax.map(body, (rays_seg, z_seg))
     depth = depth.reshape(height, width)
@@ -609,6 +613,7 @@ def render_novel_view_fused_sharded(
     band: int = 64,
     want_rgb: bool = True,
     rows_per_seg: int = 4,
+    depth_statistic: str = "expectation",
 ):
     """Multi-chip `render_novel_view_fused`: the segment axis (groups of
     target rows) is sharded over `mesh[axis_name]` with shard_map — each
@@ -652,7 +657,8 @@ def render_novel_view_fused_sharded(
 
     def shard_fn(fs_rep, rs, zs):
         body = _fused_rows_body(
-            fs_rep, cfg, width, K, rows_per_seg, band, want_rgb, hard_alpha_cap
+            fs_rep, cfg, width, K, rows_per_seg, band, want_rgb, hard_alpha_cap,
+            depth_statistic=depth_statistic,
         )
         return jax.lax.map(body, (rs, zs))
 
@@ -686,6 +692,7 @@ def render_novel_view_probe(
     band: int = 64,
     want_rgb: bool = True,
     rows_per_seg: int = 4,
+    depth_statistic: str = "expectation",
 ):
     """Two-pass probe-guided novel-view render (empty-space skipping) —
     the BLESSED serving default (round 3).
@@ -770,7 +777,8 @@ def render_novel_view_probe(
     seg_n = height // rows_per_seg
     rw = rows_per_seg * width
     body = _fused_rows_body(
-        fs, cfg, width, Kf, rows_per_seg, band, want_rgb, hard_alpha_cap
+        fs, cfg, width, Kf, rows_per_seg, band, want_rgb, hard_alpha_cap,
+        depth_statistic=depth_statistic,
     )
     depth, dino, rgb = jax.lax.map(
         body, (flat.reshape(seg_n, rw, 8), z.reshape(seg_n, rw, Kf))
@@ -925,6 +933,7 @@ def _fused_rows_body(
     band: int,
     want_rgb: bool,
     hard_alpha_cap: bool,
+    depth_statistic: str = "expectation",
 ):
     """Per-segment body of the fused novel-view renderer: (rays (rw, 8),
     z (rw, K)) -> (depth (rw,), dino (rw, D-1), rgb (rw, 3)). Shared by
@@ -958,7 +967,7 @@ def _fused_rows_body(
 
         sigma = out[:, 0].reshape(rows_per_seg, K, width)
         sigma = jax.nn.softplus(sigma.transpose(0, 2, 1).reshape(rw, K))
-        comp = C.composite_rays(sigma, z_s, hard_alpha_cap)
+        comp = C.composite_rays(sigma, z_s, hard_alpha_cap, depth_statistic=depth_statistic)
         w_hwk = comp.weights.reshape(rows_per_seg, width, K)
 
         dino = out[:, 1:].reshape(rows_per_seg, K, width, -1)

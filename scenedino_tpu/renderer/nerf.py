@@ -41,6 +41,10 @@ class RenderConfig:
     render_mode: str = "volumetric"  # volumetric | surface | neus
     surface_sigmoid_scale: float = 1.0
     normalize_dino: bool = True  # kept for config parity; reference stores but never applies it (nerf.py:119)
+    # depth statistic: "expectation" = E[z] (reference nerf.py:376-394,
+    # the parity default) | "median" = weight-median (measured unbiased on
+    # diffuse shells, core/compositing.py weight_median_depth)
+    depth_statistic: str = "expectation"
 
     @property
     def using_fine(self) -> bool:
@@ -194,7 +198,9 @@ def _composite(field_fn, rays, z_samp, cfg, sb, noise_key, training):
         sigma = sigma + jax.random.normal(noise_key, sigma.shape) * cfg.noise_std
 
     with jax.named_scope("compositing"):
-        comp = compositing.composite_rays(sigma, z_samp, cfg.hard_alpha_cap)
+        comp = compositing.composite_rays(
+            sigma, z_samp, cfg.hard_alpha_cap, depth_statistic=cfg.depth_statistic
+        )
     weights = comp.weights
     depth = comp.depth
 
