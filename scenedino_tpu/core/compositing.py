@@ -44,8 +44,14 @@ def alpha_composite(sigmas, deltas, hard_alpha_cap=True):
     alphas = 1.0 - jnp.exp(-jnp.abs(deltas) * jnp.maximum(sigmas, 0.0))
     if hard_alpha_cap:
         alphas = alphas.at[..., -1].set(1.0)
+    # maximum, NOT `1 - a + 1e-10` (the reference's form, nerf.py:383):
+    # XLA reassociates that into `(1 + 1e-10) - a` where the epsilon
+    # vanishes in fp32, so saturated alphas (huge sigma) produced EXACT
+    # zeros on TPU (measured: shifted_min 0.0, logs/diag_probe2.log).
+    # max() expresses the intended floor in a form no simplifier can drop.
     shifted = jnp.concatenate(
-        [jnp.ones_like(alphas[..., :1]), 1.0 - alphas[..., :-1] + 1e-10], axis=-1
+        [jnp.ones_like(alphas[..., :1]),
+         jnp.maximum(1.0 - alphas[..., :-1], 1e-10)], axis=-1
     )
     T = jnp.cumprod(shifted, axis=-1)  # exclusive transmittance
     weights = alphas * T

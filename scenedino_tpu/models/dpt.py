@@ -21,6 +21,8 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from scenedino_tpu.core import safe_normalize
 from flax import linen as nn
 
 
@@ -213,5 +215,5 @@ class NoDecoder(nn.Module):
             x, (x.shape[0], *self.image_size, x.shape[-1]), method=self.interpolation
         )
         if self.normalize_features:
-            x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            x = safe_normalize(x, axis=-1, eps=1e-12)
         return [x.transpose(0, 3, 1, 2)]

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from scenedino_tpu.core import safe_normalize
 from scenedino_tpu.models.dpt import DPTHead, NoDecoder
 from scenedino_tpu.models.vit import VIT_PRESETS, VisionTransformer, make_vit
 
@@ -119,7 +120,7 @@ class DinoViTEncoder(nn.Module):
             kf = out["key_features"]  # (B, H, N, D)
             B, Hh, N, D = kf.shape
             tokens = kf.transpose(0, 2, 1, 3).reshape(B, N, Hh * D)
-            tokens = tokens / jnp.maximum(jnp.linalg.norm(tokens, axis=-1, keepdims=True), 1e-12)
+            tokens = safe_normalize(tokens, axis=-1, eps=1e-12)
             result.append(to_grid(tokens))
         else:
             result.append(to_grid(out["features_normalized"]))
@@ -230,7 +231,12 @@ class PatchSalienceDownsampler(nn.Module):
         w = jax.nn.softmax(w.reshape(B, Pn, -1), axis=-1).reshape(B, Pn, *x.shape[2:4], 1, 1)
         pooled = jnp.sum(w * x, axis=(2, 3))  # (B, Pn, 1, C)
         if self.normalize_features:
-            pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+            # safe_normalize, NOT x/max(||x||, eps): sum(x^2) can
+            # underflow to 0 in fp32 for near-cancelling pooled rows,
+            # and the x/max form then emits NaN under reverse-mode AD
+            # (0-cotangent x inf sqrt'(0)) - the flagship iter-1360
+            # crash was born on this exact line (logs/diag_probe2.log)
+            pooled = safe_normalize(pooled, axis=-1, eps=1e-12)
         if mode == "patch":
             return pooled[..., 0, :]
         return pooled.reshape(B, V, gh, gw, C)
@@ -393,7 +399,7 @@ class DinoModule(nn.Module):
                 if c.flip_avg_gt:
                     flipped = self.gt_encoder(x[..., ::-1])[-1][..., ::-1]
                     gt = gt + flipped
-                    gt = gt / jnp.maximum(jnp.linalg.norm(gt, axis=1, keepdims=True), 1e-12)
+                    gt = safe_normalize(gt, axis=1, eps=1e-12)
             return [jax.lax.stop_gradient(gt)]
         feats = self.vit_encoder(x)
         if c.encoder_freeze:

@@ -19,6 +19,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from scenedino_tpu.core import safe_normalize
 from flax import linen as nn
 
 from scenedino_tpu.core.grid_sample import grid_sample_2d
@@ -137,4 +139,4 @@ class MultiScaleCropGT(nn.Module):
         summed = jnp.sum(all_feats * all_valid, axis=1)
         count = jnp.maximum(jnp.sum(all_valid, axis=1), 1.0)
         mean = summed / count
-        return mean / jnp.maximum(jnp.linalg.norm(mean, axis=1, keepdims=True), 1e-12)
+        return safe_normalize(mean, axis=1, eps=1e-12)

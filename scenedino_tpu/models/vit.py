@@ -29,6 +29,8 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from scenedino_tpu.core import safe_normalize
 from flax import linen as nn
 
 
@@ -323,7 +325,7 @@ class VisionTransformer(nn.Module):
 
         x = nn.LayerNorm(epsilon=self.cfg.ln_eps, dtype=cfg.dtype, name="norm")(x)
         feats = x[:, T:]
-        feats = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12)
+        feats = safe_normalize(feats, axis=-1, eps=1e-12)
         out["features_normalized"] = feats
         if key_feats is not None:
             out["key_features"] = key_feats[:, :, T:]

@@ -206,25 +206,36 @@ def main():
         state, _ = step(state, b, jnp.asarray(data["key"]))
     params_pre = state.params
     art_pre = state.artifact_field
+    # free the optimizer moments + replay executable: each variant compiles
+    # its own ~GB-scale program and the 16G v5e OOMs if everything lingers
+    import gc
+
+    state = None
+    step = None
+    gc.collect()
 
     # ---- variants ----
     L = ReconstructionLossConfig
-    only = lambda **kw: dataclasses.replace(
-        L(), lambda_dino_coarse=0.0, lambda_edge_aware_smoothness=0.0,
-        lambda_dino_edge_aware_smoothness=0.0, **kw
-    )
+
+    def only(**kw):
+        base = dict(
+            lambda_dino_coarse=0.0, lambda_edge_aware_smoothness=0.0,
+            lambda_dino_edge_aware_smoothness=0.0,
+        )
+        base.update(kw)
+        return dataclasses.replace(L(), **base)
+    cfg32 = dict(config["model"], encoder=dict(config["model"]["encoder"], dtype="float32"))
     variants = {
-        "full": (field, tcfg, rcfg, lcfg),
         "l1_only": (field, tcfg, rcfg, only(criterion="l1")),
         "rgb_only": (field, tcfg, rcfg, only()),
+        "fp32": (make_model(cfg32), tcfg, rcfg, lcfg),
+        "no_cap": (field, tcfg, dataclasses.replace(rcfg, hard_alpha_cap=False), lcfg),
         "rgb_dino": (field, tcfg, rcfg, only(lambda_dino_coarse=0.2)),
         "rgb_eas": (field, tcfg, rcfg, only(lambda_edge_aware_smoothness=0.001)),
         "rgb_dino_eas": (field, tcfg, rcfg, dataclasses.replace(
             L(), lambda_dino_edge_aware_smoothness=0.0)),
-        "no_cap": (field, tcfg, dataclasses.replace(rcfg, hard_alpha_cap=False), lcfg),
+        "full": (field, tcfg, rcfg, lcfg),
     }
-    cfg32 = dict(config["model"], encoder=dict(config["model"]["encoder"], dtype="float32"))
-    variants["fp32"] = (make_model(cfg32), tcfg, rcfg, lcfg)
     if args.variants:
         keep = args.variants.split(",")
         variants = {k: v for k, v in variants.items() if k in keep}
@@ -238,6 +249,9 @@ def main():
         ls = {k: round(float(v), 5) for k, v in jax.device_get(losses).items()}
         log.info("variant %-14s losses=%s", name, ls)
         log.info("variant %-14s NONFINITE groups: %s", name, bad or "NONE")
+        del losses, gp, ga, gfn
+        gc.collect()
+        jax.clear_caches()
 
 
 if __name__ == "__main__":
