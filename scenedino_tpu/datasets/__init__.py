@@ -15,9 +15,23 @@ from scenedino_tpu.datasets.labels import (  # noqa: F401
 def make_datasets(config: dict) -> Tuple:
     """(train, test) datasets from a config dict with "type"."""
     kind = config.get("type", "old_KITTI_360")
-    # "KITTI_360" and "KITTI_360_v2" are the reference's redundant refactors
-    # of the same data/geometry (scenedino/datasets/__init__.py:20,66,110);
-    # all three type values map to the one implementation here.
+    # Three KITTI-360 loader types, one implementation, three behaviors:
+    #   old_KITTI_360  — the shipped stereo/fisheye-offset layout (every
+    #                    published config trains with this).
+    #   KITTI_360      — the reference's dataclass refactor of the SAME
+    #                    data/geometry (scenedino/datasets/kitti_360.py).
+    #                    Its only behavioral deltas are dead or broken
+    #                    upstream: the multi-offset shuffle feeds the same
+    #                    offset lists, and its return_fisheye branch
+    #                    crashes with a TypeError (`id + fisheye_offsets *
+    #                    self.dilation` adds a list to an int,
+    #                    kitti_360.py:392-394) — i.e. it was never run
+    #                    with fisheyes. Mapped onto the offsets layout.
+    #   KITTI_360_v2   — genuinely distinct sampling: frame_count frames
+    #                    of MIXED cams chosen by estimated frustum overlap
+    #                    with the encoder camera (kitti_360_v2.py
+    #                    OverlapFrameSamplingStrategy) — implemented as
+    #                    frame_sampling_strategy="overlap".
     if kind in ("old_KITTI_360", "KITTI_360", "KITTI_360_v2"):
         from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
 
@@ -44,6 +58,13 @@ def make_datasets(config: dict) -> Tuple:
             color_aug=config.get("color_aug", False),
             is_preprocessed=config.get("is_preprocessed", False),
             return_3d_bboxes=config.get("data_3d_bboxes", config.get("return_3d_bboxes", False)),
+            frame_sampling_strategy=(
+                "overlap" if kind == "KITTI_360_v2"
+                else config.get("frame_sampling_strategy", "offsets")
+            ),
+            overlap_min_ratio=config.get("overlap_min_ratio", 0.4),
+            overlap_max_samples=config.get("overlap_max_samples", 128),
+            overlap_ranges=config.get("overlap_ranges"),
         )
         # split_path semantics match the reference factory
         # (scenedino/datasets/__init__.py:67-72): a DIRECTORY means
@@ -151,6 +172,13 @@ def make_test_dataset(config: dict):
             stereo_offset=config.get("stereo_offset", 0),
             is_preprocessed=config.get("is_preprocessed", False),
             return_3d_bboxes=config.get("data_3d_bboxes", config.get("return_3d_bboxes", False)),
+            frame_sampling_strategy=(
+                "overlap" if kind == "KITTI_360_v2"
+                else config.get("frame_sampling_strategy", "offsets")
+            ),
+            overlap_min_ratio=config.get("overlap_min_ratio", 0.4),
+            overlap_max_samples=config.get("overlap_max_samples", 128),
+            overlap_ranges=config.get("overlap_ranges"),
         )
     _, test = make_datasets(config)
     return test

@@ -171,6 +171,42 @@ class FisheyeToPinholeSampler:
         return grid_sample_np(img, self.sample_pts, align_corners=True)
 
 
+def estimate_frustum_overlap(proj_src, pose_src, proj_tgt, pose_tgt,
+                             z_range=(3.0, 40.0), res=(8, 8, 16)):
+    """Fraction of a (w x h x d) grid of points in the SOURCE frustum that
+    projects inside the TARGET frustum.
+
+    Host-side numpy twin of the reference's overlap heuristic
+    (scenedino/common/geometry.py:161-208, estimate_frustum_overlap_2),
+    used by the KITTI_360_v2 frame-sampling strategy. Poses are cam2world
+    4x4; projs are normalized (NDC) intrinsics. Reproduces the
+    reference's acceptance test verbatim — including |z| > z_near with an
+    ABS, which also admits points behind the target camera (a quirk of
+    the reference heuristic, kept for behavioral parity).
+    """
+    w, h, d = res
+    pw, ph = 2.0 / w, 2.0 / h
+    x = np.linspace(-1 + 0.5 * pw, 1 - 0.5 * pw, w)
+    y = np.linspace(-1 + 0.5 * ph, 1 - 0.5 * ph, h)
+    z = np.linspace(z_range[0], z_range[1], d)
+    X, Y = np.meshgrid(x, y)  # (h, w)
+    dirs = np.stack([X, Y, np.ones_like(X)], -1).reshape(-1, 3)
+    dirs = dirs @ np.linalg.inv(np.asarray(proj_src, np.float64)).T
+    pts = dirs[None, :, :] * z[:, None, None]  # (d, h*w, 3)
+    pts = pts.reshape(-1, 3)
+    src2tgt = np.linalg.inv(np.asarray(pose_tgt, np.float64)) @ np.asarray(
+        pose_src, np.float64
+    )
+    pts = pts @ src2tgt[:3, :3].T + src2tgt[:3, 3]
+    uvz = pts @ np.asarray(proj_tgt, np.float64).T
+    zc = uvz[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = uvz[:, 0] / zc
+        v = uvz[:, 1] / zc
+    valid = (np.abs(u) < 1) & (np.abs(v) < 1) & (np.abs(zc) > z_range[0])
+    return float(np.mean(valid))
+
+
 # ------------------------------------------------------------- calibration
 def load_calibs(data_path, fisheye_rotation=(0, -15)) -> Dict:
     """Parse + normalize KITTI-360 calibration (old_kitti_360.py:388-573)."""
@@ -307,6 +343,14 @@ class KITTI360Dataset:
     # dirs, cli/preprocess_kitti_360.py) instead of resampling raw
     # frames per sample (kitti_360_dataset.py:384-392 is_preprocessed)
     is_preprocessed: bool = False
+    # "offsets": the shipped old_KITTI_360 stereo/fisheye-offset layout;
+    # "overlap": the KITTI_360_v2 strategy — frame_count frames of mixed
+    # cams chosen by estimated frustum overlap with the encoder camera
+    # (kitti_360_v2.py OverlapFrameSamplingStrategy)
+    frame_sampling_strategy: str = "offsets"
+    overlap_min_ratio: float = 0.4
+    overlap_max_samples: int = 128
+    overlap_ranges: Optional[Dict] = None
     seed: int = 0
 
     def __post_init__(self):
@@ -378,12 +422,68 @@ class KITTI360Dataset:
     def _full_split(self):
         dps = []
         for seq in self._sequences:
-            n = len(self._img_ids[seq]) - self.frame_count * self.dilation - max(self.fisheye_offset)
+            if self.frame_sampling_strategy == "overlap":
+                # the overlap sampler clamps every candidate id to the
+                # sequence, so only the +-1 seed neighbor needs a margin
+                n = len(self._img_ids[seq]) - 1
+            else:
+                n = len(self._img_ids[seq]) - self.frame_count * self.dilation - max(self.fisheye_offset)
             for i in range(max(n, 0)):
                 dps.append((seq, i, False))
                 if self.return_stereo:
                     dps.append((seq, i, True))
         return dps
+
+    def _overlap_samples(self, seq, id, seq_len, rng):
+        """Overlap-guided (cam, id) frame selection — the KITTI_360_v2
+        sampling strategy (kitti_360_v2.py OverlapFrameSamplingStrategy
+        :42-141 + KITTI360DatasetV2.__getitem__:267-290).
+
+        Flip a coin for the base cam (00/01); the encoder frame and its
+        +-1 neighbor seed the list; then draw random (cam, offset)
+        candidates from per-cam ranges and keep base+target PAIRS whose
+        estimated frustum overlap with the encoder camera is >=
+        overlap_min_ratio, until frame_count frames are collected (the
+        rejection is waived when the remaining draw budget gets tight,
+        like the reference).
+        """
+        T = self._calibs["T_cam_to_pose"]
+        Kp = self._calibs["K_perspective"]
+        Kf = self._calibs["K_fisheye"]
+        poses = self._poses[seq]
+
+        def clamp(i):
+            return max(min(i, seq_len - 1), 0)
+
+        base_cam = "00" if rng.rand() < 0.5 else "01"
+        # reference ranges_00/_01 (kitti_360_v2.py:59-71): near window on
+        # the base perspective cam, far-forward windows on the fisheyes
+        ranges = dict(self.overlap_ranges or {
+            base_cam: (-10, 20), "02": (10, 50), "03": (10, 50),
+        })
+        enc_pose = poses[id] @ T[base_cam]
+        enc_K = Kp
+
+        samples = [(base_cam, id),
+                   (base_cam, clamp(id + (1 if rng.rand() > 0.5 else -1)))]
+        cams = sorted(ranges)
+        for i in range(self.overlap_max_samples):
+            if len(samples) >= self.frame_count:
+                break
+            c = cams[rng.randint(len(cams))]
+            lo, hi = ranges[c]
+            base_id = clamp(id + int(rng.randint(lo, hi)))
+            tgt_id = clamp(base_id + (1 if rng.rand() >= 0.5 else -1))
+            K_c = Kp if c in ("00", "01") else Kf
+            cand_pose = poses[base_id] @ T[c]
+            overlap = estimate_frustum_overlap(K_c, cand_pose, enc_K, enc_pose)
+            budget_tight = (self.overlap_max_samples - i) * 2 <= (
+                self.frame_count - len(samples)
+            )
+            if overlap < self.overlap_min_ratio and not budget_tight:
+                continue
+            samples += [(c, base_id), (c, tgt_id)]
+        return [(c, clamp(i)) for c, i in samples[: self.frame_count]]
 
     def _frame_ids(self, id, seq_len, stereo_offset, fisheye_offset):
         """Timestep index lists (old_kitti_360.py:914-938)."""
@@ -485,6 +585,9 @@ class KITTI360Dataset:
         seq, id, is_right = self._datapoints[index]
         seq_len = len(self._img_ids[seq])
 
+        if self.frame_sampling_strategy == "overlap":
+            return self._getitem_overlap(index, seq, id, seq_len)
+
         fisheye_offset = (
             self.fisheye_offset[self._rng.randint(len(self.fisheye_offset))]
             if self.random_fisheye_offset else self.fisheye_offset[-1]
@@ -538,5 +641,48 @@ class KITTI360Dataset:
 
             data["3d_bboxes"] = [
                 get_3d_bboxes(self._3d_bboxes[seq], img_ids[0], poses[0], projs[0])
+            ]
+        return data
+
+    def _getitem_overlap(self, index, seq, id, seq_len) -> Dict[str, np.ndarray]:
+        """KITTI_360_v2 sample assembly (kitti_360_v2.py:267-341): a flat
+        list of `frame_count` overlap-selected (cam, id) frames — mixed
+        perspective/fisheye — with per-cam intrinsics and poses. The
+        fisheye frames go through the same MEI resamplers as the offsets
+        layout; depth/seg/bbox targets come from the encoder frame."""
+        samples = self._overlap_samples(seq, id, seq_len, self._rng)
+        resamplers = {"00": None, "01": None,
+                      "02": self._resampler_02, "03": self._resampler_03}
+        aug = sample_color_aug_fn(self._rng) if self.color_aug else None
+        T = self._calibs["T_cam_to_pose"]
+        Kp, Kf = self._calibs["K_perspective"], self._calibs["K_fisheye"]
+
+        imgs, poses, projs, ts = [], [], [], []
+        for cam, i in samples:
+            img_id = int(self._img_ids[seq][i])
+            imgs.append(self._load_and_process(seq, cam, img_id, resamplers[cam], aug))
+            poses.append(self._poses[seq][i] @ T[cam])
+            projs.append(Kp if cam in ("00", "01") else Kf)
+            ts.append(i)
+
+        data = {
+            "imgs": np.stack(imgs).astype(np.float32),
+            "projs": np.stack(projs).astype(np.float32),
+            "poses": np.stack(poses).astype(np.float32),
+            "ts": np.array(ts, np.int32),
+            "index": np.array([index]),
+        }
+        enc_cam, enc_i = samples[0]
+        enc_img_id = int(self._img_ids[seq][enc_i])
+        if self.return_depth:
+            data["depths"] = self.load_depth(seq, enc_img_id, enc_cam == "01")[None]
+        if self.return_segmentation:
+            data["segs"] = self.load_segmentation(seq, enc_img_id)
+        if self.return_3d_bboxes:
+            from scenedino_tpu.datasets.annotations import get_3d_bboxes
+
+            data["3d_bboxes"] = [
+                get_3d_bboxes(self._3d_bboxes[seq], enc_img_id, data["poses"][0],
+                              data["projs"][0])
             ]
         return data

@@ -82,9 +82,10 @@ def kitti_root(tmp_path):
 def _make(root, **kw):
     from scenedino_tpu.datasets.kitti_360 import KITTI360Dataset
 
+    kw.setdefault("frame_count", 2)
     return KITTI360Dataset(
         data_path=str(root), pose_path=str(root / "data_poses"),
-        split_path=None, target_image_size=TGT, frame_count=2,
+        split_path=None, target_image_size=TGT,
         return_stereo=True, return_fisheye=True,
         fisheye_rotation=(0, -15), **kw,
     )
@@ -172,3 +173,80 @@ def test_factory_split_dir_and_test_instance(kitti_root):
     assert len(td) == 1
     assert td.fisheye_offset == (2, 3)
     assert td.return_depth is True
+
+
+# --------------------------------------------- KITTI_360_v2 overlap sampling
+def test_frustum_overlap_estimator():
+    from scenedino_tpu.datasets.kitti_360 import estimate_frustum_overlap
+
+    K = np.array([[0.9, 0, 0], [0, 1.4, 0], [0, 0, 1.0]])
+    eye = np.eye(4)
+    # identical cameras: every plane but z == z_near projects back inside
+    # (the reference's STRICT |z| > z_near drops the first depth plane of
+    # the 16-plane grid -> 15/16, reproduced for parity)
+    assert estimate_frustum_overlap(K, eye, K, eye) == pytest.approx(15 / 16)
+    # far-displaced target: overlap collapses
+    far = np.eye(4)
+    far[0, 3] = 500.0
+    assert estimate_frustum_overlap(K, eye, K, far) < 0.05
+    # small sideways step: partial overlap, monotone in displacement
+    near = np.eye(4)
+    near[0, 3] = 2.0
+    mid = np.eye(4)
+    mid[0, 3] = 20.0
+    o_near = estimate_frustum_overlap(K, eye, K, near)
+    o_mid = estimate_frustum_overlap(K, eye, K, mid)
+    assert 1.0 > o_near > o_mid > 0.0
+
+
+def test_overlap_frame_sampling_v2(kitti_root):
+    ds = _make(
+        kitti_root, frame_count=6, frame_sampling_strategy="overlap",
+        overlap_min_ratio=0.05, overlap_max_samples=64,
+    )
+    out = ds[4]
+    # flat frame list: frame_count views, mixed cams, per-view intrinsics
+    assert out["imgs"].shape == (6, 3, *TGT)
+    assert out["poses"].shape == (6, 4, 4)
+    assert out["projs"].shape == (6, 3, 3)
+    assert np.isfinite(out["imgs"]).all() and np.isfinite(out["poses"]).all()
+    # encoder frame first: its timestep is the datapoint keyframe
+    seq, kid, _ = ds._datapoints[4]
+    assert int(out["ts"][0]) == kid
+    # its +-1 neighbor rides second (kitti_360_v2.py:96-100)
+    assert abs(int(out["ts"][1]) - kid) <= 1
+
+    # every accepted non-seed frame clears the overlap threshold against
+    # the encoder camera (or was admitted by the budget waiver — with the
+    # tiny fixture's forward motion the threshold is easy to clear)
+    from scenedino_tpu.datasets.kitti_360 import estimate_frustum_overlap
+
+    enc_K, enc_pose = out["projs"][0], out["poses"][0]
+    overlaps = [
+        estimate_frustum_overlap(out["projs"][i], out["poses"][i], enc_K, enc_pose)
+        for i in range(2, 6)
+    ]
+    assert all(o >= 0.05 for o in overlaps), overlaps
+
+
+def test_factory_v2_type(kitti_root):
+    from scenedino_tpu.datasets import make_datasets
+
+    train, test = make_datasets({
+        "type": "KITTI_360_v2",
+        "data_path": str(kitti_root),
+        "pose_path": str(kitti_root / "data_poses"),
+        "image_size": list(TGT),
+        "data_fc": 4,
+    })
+    assert train.frame_sampling_strategy == "overlap"
+    out = train[0]
+    assert out["imgs"].shape == (4, 3, *TGT)
+    # v1 type keeps the offsets layout (documented upstream-dead refactor)
+    train1, _ = make_datasets({
+        "type": "KITTI_360",
+        "data_path": str(kitti_root),
+        "pose_path": str(kitti_root / "data_poses"),
+        "image_size": list(TGT),
+    })
+    assert train1.frame_sampling_strategy == "offsets"
