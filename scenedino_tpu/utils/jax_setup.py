@@ -6,9 +6,19 @@ import os
 
 def enable_compilation_cache(path: str = "/root/.cache/jax_comp_cache") -> None:
     """Persistent XLA compilation cache — first compile of the big graphs
-    (ViT-B + renderer) takes minutes; subsequent processes reuse it."""
+    (ViT-B + renderer) takes minutes; subsequent processes reuse it.
+
+    TPU-only: the XLA:CPU backend caches AOT machine code keyed without
+    the host's CPU feature set, so an entry compiled on another machine
+    loads with XLA's own feature-mismatch warning: "could lead to
+    execution errors such as SIGILL" (observed loading this repo's cache
+    on this box, round 5; numerics happened to match on re-measurement,
+    but running mismatched machine code is not a risk worth a few saved
+    seconds — CPU compiles here are tiny-shape / deopt-flag fast)."""
     import jax
 
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu" or jax.config.jax_platforms == "cpu":
+        return
     path = os.environ.get("SCENEDINO_COMPILATION_CACHE_DIR", path)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
